@@ -1,0 +1,274 @@
+"""The MFM family: MFM (MMD), MFM_KL / MFM_KL_EF (variational), and
+MFM_missing (surrogate encoders for missing modalities).
+
+Parity targets (all in reference ``mfm_model.py``):
+- MFM:        469-555  — 3 unimodal encoders -> zl/za/zv, MFN -> zy,
+              MMD on all four latents, z->f MLPs, decoders on [fy,f_m],
+              label head fy -> y.
+- MFM_KL_EF:  557-660  — mu/logvar heads per latent, zy from a joint
+              early-fusion encoder; KLD loss; decodes from the MEAN
+              (no reparameterization sampling — reproduced as-is).
+- MFM_KL:     662-764  — like MFM_KL_EF but zy comes from the MFN.
+- MFM_missing:766-885  — six surrogate encoders infer a missing
+              modality's latent from the other two; missing_loss is six
+              MSE terms; decodes 4 ways (all-present + one-missing x3).
+
+Apply returns mirror the reference forward returns:
+``(decoded, reg_loss, missing_loss)`` where
+``decoded = [x_l_hat, x_a_hat, x_v_hat, y_hat]`` (and MFM_missing adds
+``decoded_nol/noa/nov``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from factorized_tpu.models.common import (
+    mfn_encoder_init,
+    run_mfn,
+    split_modalities,
+    subkeys,
+    trio_decoder_init,
+    trio_encoder_init,
+    trio_zf_init,
+    yhead_apply,
+    yhead_init,
+    zf_apply,
+)
+from factorized_tpu.ops.core import linear_apply, linear_init
+from factorized_tpu.ops.lstm import decoder_apply, encoder_apply, encoder_init
+from factorized_tpu.ops.losses import l2_loss, loss_kld, loss_mmd
+
+
+# ---------------------------------------------------------------- helpers
+
+def _zf_all(params, zy, zl, za, zv, cfg, key, train):
+    k = subkeys(key, 4)
+    fy = zf_apply(params["zf"]["zy_to_fy"], zy, cfg.zy_to_fy_dropout, k[0], train)
+    fl = zf_apply(params["zf"]["zl_to_fl"], zl, cfg.zl_to_fl_dropout, k[1], train)
+    fa = zf_apply(params["zf"]["za_to_fa"], za, cfg.za_to_fa_dropout, k[2], train)
+    fv = zf_apply(params["zf"]["zv_to_fv"], zv, cfg.zv_to_fv_dropout, k[3], train)
+    return fy, fl, fa, fv
+
+
+def _decode(params, fy, fl, fa, fv, t, cfg, key, train):
+    x_l_hat = decoder_apply(params["dec"]["decoder_l"], jnp.concatenate([fy, fl], 1), t)
+    x_a_hat = decoder_apply(params["dec"]["decoder_a"], jnp.concatenate([fy, fa], 1), t)
+    x_v_hat = decoder_apply(params["dec"]["decoder_v"], jnp.concatenate([fy, fv], 1), t)
+    y_hat = yhead_apply(params["fy_to_y"], fy, cfg.fy_to_y_dropout, key, train)
+    return [x_l_hat, x_a_hat, x_v_hat, y_hat]
+
+
+def _mmd4(key, zl, za, zv, zy):
+    k = subkeys(key, 4)
+    return (
+        loss_mmd(k[0], zl)
+        + loss_mmd(k[1], za)
+        + loss_mmd(k[2], zv)
+        + loss_mmd(k[3], zy)
+    )
+
+
+# -------------------------------------------------------------------- MFM
+
+def mfm_init(key, cfg, dtype=jnp.float32):
+    k = subkeys(key, 5)
+    return {
+        "enc": trio_encoder_init(k[0], cfg, dtype),
+        "dec": trio_decoder_init(k[1], cfg, dtype),
+        "mfn_enc": mfn_encoder_init(k[2], cfg, dtype),
+        "zf": trio_zf_init(k[3], cfg, dtype),
+        "fy_to_y": yhead_init(k[4], cfg.fy_size, cfg.output_dim, dtype),
+    }
+
+
+def mfm_apply(params, x, cfg, *, key, train=False):
+    t = x.shape[0]
+    x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
+    k = subkeys(key, 4)
+
+    zl = encoder_apply(params["enc"]["encoder_l"], x_l)
+    za = encoder_apply(params["enc"]["encoder_a"], x_a)
+    zv = encoder_apply(params["enc"]["encoder_v"], x_v)
+    mfn_last = run_mfn(params["mfn_enc"], x_l, x_a, x_v, cfg, k[0], train)
+    zy = linear_apply(params["mfn_enc"]["last_to_zy"], mfn_last)
+
+    mmd = _mmd4(k[1], zl, za, zv, zy)
+    fy, fl, fa, fv = _zf_all(params, zy, zl, za, zv, cfg, k[2], train)
+    decoded = _decode(params, fy, fl, fa, fv, t, cfg, k[3], train)
+    return decoded, mmd, 0.0
+
+
+# ------------------------------------------------------- variational heads
+
+def _varhead_init(key, cfg, dtype):
+    """Per-latent mu/logvar projections (``mfm_model.py:592-597``)."""
+    k = subkeys(key, 6)
+    return {
+        "last_to_zl": linear_init(k[0], cfg.zl_size, cfg.zl_size, dtype),
+        "last_to_za": linear_init(k[1], cfg.za_size, cfg.za_size, dtype),
+        "last_to_zv": linear_init(k[2], cfg.zv_size, cfg.zv_size, dtype),
+        "last_to_logvarzl": linear_init(k[3], cfg.zl_size, cfg.zl_size, dtype),
+        "last_to_logvarza": linear_init(k[4], cfg.za_size, cfg.za_size, dtype),
+        "last_to_logvarzv": linear_init(k[5], cfg.zv_size, cfg.zv_size, dtype),
+    }
+
+
+def _var_latents(params, zl_last, za_last, zv_last):
+    vh = params["varhead"]
+    zl = linear_apply(vh["last_to_zl"], zl_last)
+    za = linear_apply(vh["last_to_za"], za_last)
+    zv = linear_apply(vh["last_to_zv"], zv_last)
+    lv_l = linear_apply(vh["last_to_logvarzl"], zl_last)
+    lv_a = linear_apply(vh["last_to_logvarza"], za_last)
+    lv_v = linear_apply(vh["last_to_logvarzv"], zv_last)
+    return zl, za, zv, lv_l, lv_a, lv_v
+
+
+def mfm_kl_ef_init(key, cfg, dtype=jnp.float32):
+    """Early-fusion variational MFM (``mfm_model.py:557-617``)."""
+    k = subkeys(key, 8)
+    last_ef = cfg.zl_size + cfg.za_size + cfg.zv_size
+    return {
+        "enc": trio_encoder_init(k[0], cfg, dtype),
+        "dec": trio_decoder_init(k[1], cfg, dtype),
+        "varhead": _varhead_init(k[2], cfg, dtype),
+        "ef_encoder": encoder_init(k[3], cfg.d_total, last_ef, dtype),
+        "last_to_zy": linear_init(k[4], last_ef, cfg.zy_size, dtype),
+        "last_to_logvarzy": linear_init(k[5], last_ef, cfg.zy_size, dtype),
+        "zf": trio_zf_init(k[6], cfg, dtype),
+        "fy_to_y": yhead_init(k[7], cfg.fy_size, cfg.output_dim, dtype),
+    }
+
+
+def mfm_kl_ef_apply(params, x, cfg, *, key, train=False):
+    t = x.shape[0]
+    x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
+    k = subkeys(key, 2)
+
+    zl_last = encoder_apply(params["enc"]["encoder_l"], x_l)
+    za_last = encoder_apply(params["enc"]["encoder_a"], x_a)
+    zv_last = encoder_apply(params["enc"]["encoder_v"], x_v)
+    zl, za, zv, lv_l, lv_a, lv_v = _var_latents(params, zl_last, za_last, zv_last)
+
+    ef_last = encoder_apply(params["ef_encoder"], x)
+    zy = linear_apply(params["last_to_zy"], ef_last)
+    lv_y = linear_apply(params["last_to_logvarzy"], ef_last)
+
+    kld = (
+        loss_kld(zl, lv_l)
+        + loss_kld(za, lv_a)
+        + loss_kld(zv, lv_v)
+        + loss_kld(zy, lv_y)
+    )
+    # NOTE: decodes from the MEAN latents (no sampling) — exact parity
+    # with the reference's (degenerate) behavior, mfm_model.py:630-660.
+    fy, fl, fa, fv = _zf_all(params, zy, zl, za, zv, cfg, k[0], train)
+    decoded = _decode(params, fy, fl, fa, fv, t, cfg, k[1], train)
+    return decoded, kld, 0.0
+
+
+def mfm_kl_init(key, cfg, dtype=jnp.float32):
+    """Variational MFM with zy from the MFN (``mfm_model.py:662-721``)."""
+    k = subkeys(key, 7)
+    return {
+        "enc": trio_encoder_init(k[0], cfg, dtype),
+        "dec": trio_decoder_init(k[1], cfg, dtype),
+        "varhead": _varhead_init(k[2], cfg, dtype),
+        "mfn_enc": mfn_encoder_init(k[3], cfg, dtype),
+        "last_to_logvarzy": linear_init(k[4], cfg.last_mfn_size, cfg.zy_size, dtype),
+        "zf": trio_zf_init(k[5], cfg, dtype),
+        "fy_to_y": yhead_init(k[6], cfg.fy_size, cfg.output_dim, dtype),
+    }
+
+
+def mfm_kl_apply(params, x, cfg, *, key, train=False):
+    t = x.shape[0]
+    x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
+    k = subkeys(key, 3)
+
+    zl_last = encoder_apply(params["enc"]["encoder_l"], x_l)
+    za_last = encoder_apply(params["enc"]["encoder_a"], x_a)
+    zv_last = encoder_apply(params["enc"]["encoder_v"], x_v)
+    zl, za, zv, lv_l, lv_a, lv_v = _var_latents(params, zl_last, za_last, zv_last)
+
+    mfn_last = run_mfn(params["mfn_enc"], x_l, x_a, x_v, cfg, k[0], train)
+    zy = linear_apply(params["mfn_enc"]["last_to_zy"], mfn_last)
+    lv_y = linear_apply(params["last_to_logvarzy"], mfn_last)
+
+    kld = (
+        loss_kld(zl, lv_l)
+        + loss_kld(za, lv_a)
+        + loss_kld(zv, lv_v)
+        + loss_kld(zy, lv_y)
+    )
+    fy, fl, fa, fv = _zf_all(params, zy, zl, za, zv, cfg, k[1], train)
+    decoded = _decode(params, fy, fl, fa, fv, t, cfg, k[2], train)
+    return decoded, kld, 0.0
+
+
+# ----------------------------------------------------------- MFM_missing
+
+def mfm_missing_init(key, cfg, dtype=jnp.float32):
+    k = subkeys(key, 7)
+    d_l, d_a, d_v = cfg.input_dims
+    ks = subkeys(k[5], 6)
+    return {
+        "enc": trio_encoder_init(k[0], cfg, dtype),
+        "dec": trio_decoder_init(k[1], cfg, dtype),
+        "mfn_enc": mfn_encoder_init(k[2], cfg, dtype),
+        "zf": trio_zf_init(k[3], cfg, dtype),
+        "fy_to_y": yhead_init(k[4], cfg.fy_size, cfg.output_dim, dtype),
+        # surrogate encoders: infer a missing modality's latent / zy
+        # from the other two (``mfm_model.py:792-798``)
+        "encoder_la_to_v": encoder_init(ks[0], d_l + d_a, cfg.zv_size, dtype),
+        "encoder_lv_to_a": encoder_init(ks[1], d_l + d_v, cfg.za_size, dtype),
+        "encoder_av_to_l": encoder_init(ks[2], d_a + d_v, cfg.zl_size, dtype),
+        "encoder_la_to_y": encoder_init(ks[3], d_l + d_a, cfg.zy_size, dtype),
+        "encoder_lv_to_y": encoder_init(ks[4], d_l + d_v, cfg.zy_size, dtype),
+        "encoder_av_to_y": encoder_init(ks[5], d_a + d_v, cfg.zy_size, dtype),
+    }
+
+
+def mfm_missing_apply(params, x, cfg, *, key, train=False):
+    t = x.shape[0]
+    x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
+    k = subkeys(key, 6)
+
+    zl = encoder_apply(params["enc"]["encoder_l"], x_l)
+    za = encoder_apply(params["enc"]["encoder_a"], x_a)
+    zv = encoder_apply(params["enc"]["encoder_v"], x_v)
+    mfn_last = run_mfn(params["mfn_enc"], x_l, x_a, x_v, cfg, k[0], train)
+    zy = linear_apply(params["mfn_enc"]["last_to_zy"], mfn_last)
+
+    x_la = jnp.concatenate([x_l, x_a], axis=2)
+    x_lv = jnp.concatenate([x_l, x_v], axis=2)
+    x_av = jnp.concatenate([x_a, x_v], axis=2)
+    zv_nov = encoder_apply(params["encoder_la_to_v"], x_la)
+    za_noa = encoder_apply(params["encoder_lv_to_a"], x_lv)
+    zl_nol = encoder_apply(params["encoder_av_to_l"], x_av)
+    zy_nov = encoder_apply(params["encoder_la_to_y"], x_la)
+    zy_noa = encoder_apply(params["encoder_lv_to_y"], x_lv)
+    zy_nol = encoder_apply(params["encoder_av_to_y"], x_av)
+
+    mmd = _mmd4(k[1], zl, za, zv, zy)
+    missing_loss = (
+        l2_loss(zv_nov, zv)
+        + l2_loss(za_noa, za)
+        + l2_loss(zl_nol, zl)
+        + l2_loss(zy_nov, zy)
+        + l2_loss(zy_noa, zy)
+        + l2_loss(zy_nol, zy)
+    )
+
+    def decode(zl_, za_, zv_, zy_, dkey):
+        dk = subkeys(dkey, 2)
+        fy, fl, fa, fv = _zf_all(params, zy_, zl_, za_, zv_, cfg, dk[0], train)
+        return _decode(params, fy, fl, fa, fv, t, cfg, dk[1], train)
+
+    decoded = decode(zl, za, zv, zy, k[2])
+    decoded_nol = decode(zl_nol, za, zv, zy_nol, k[3])
+    decoded_noa = decode(zl, za_noa, zv, zy_noa, k[4])
+    decoded_nov = decode(zl, za, zv_nov, zy_nov, k[5])
+    return decoded, decoded_nol, decoded_noa, decoded_nov, mmd, missing_loss
