@@ -1,0 +1,595 @@
+"""Experiment-level trainers, one per reference training loop:
+
+=====================  =========================================
+this module            reference
+=====================  =========================================
+train_mfm              ``mfm_mosi.py:386-503`` (MFM / MFM_KL, joint loss)
+train_beta_vae         ``mfm_mosi.py:225-384`` (two-stage, MFM_KL_EF)
+train_mfm_missing      ``mfm_mosi.py:918-1106``
+train_mfm_test_zeros   ``mfm_mosi.py:505-638``
+train_mfm_ablation     ``mfm_mosi.py:640-767`` (M_A..M_D)
+train_seq2seq          ``mfm_mosi.py:769-916``
+train_basic_missing    ``mfm_mosi.py:1108-1225``
+train_mfm_acc          ``mfm_mosi_acc.py:396-503`` (acc-maximizing)
+train_predictor        ``test_mosi.py`` EFLSTM/MFN heads,
+                       ``test_attention.py:308-404`` SelfAttention
+=====================  =========================================
+
+Each takes numpy arrays shaped like the reference loaders emit
+(batch-major ``(n, t, d)`` X, 1-D y) plus an :class:`MFMConfig`; the
+whole epoch runs as one XLA program (see :mod:`factorized_tpu.train`).
+Every trainer returns a results dict with test metrics, the best params
+pytree and per-epoch history.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from factorized_tpu.models import get_model
+from factorized_tpu.models.registry import MODELS
+from factorized_tpu.ops.losses import l2_loss
+from factorized_tpu.train import (
+    TrainProgram,
+    make_batches,
+    make_optimizer,
+    set_lr,
+    shuffle_and_time_major,
+)
+from factorized_tpu.utils.checkpoint import BestKeeper
+from factorized_tpu.utils.logging import RunLogger
+from factorized_tpu.utils.metrics import (
+    accuracy,
+    score_classification,
+    score_regression,
+)
+from factorized_tpu.utils.scheduler import ReduceLROnPlateau
+
+
+def _prep_data(X_train, y_train, X_valid, y_valid, X_test, y_test, seed):
+    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
+    X_valid = np.ascontiguousarray(
+        np.asarray(X_valid).swapaxes(0, 1), dtype=np.float32
+    )
+    X_test = np.ascontiguousarray(
+        np.asarray(X_test).swapaxes(0, 1), dtype=np.float32
+    )
+    return X_train, y_train, X_valid, np.asarray(y_valid), X_test, np.asarray(y_test)
+
+
+def _labels(y, cfg):
+    return y.astype(np.int32) if cfg.task == "classification" else y.astype(np.float32)
+
+
+def _loop(
+    program,
+    params,
+    opt_state,
+    Xb,
+    yb,
+    remainder,
+    Xv,
+    yv,
+    num_epochs,
+    scheduler,
+    keeper,
+    logger,
+    key,
+    save_always=False,
+    eval_metric=None,
+):
+    """The per-epoch host loop: jitted epoch -> full-set eval -> RLROP ->
+    best-valid checkpointing — the shape of every reference trainer
+    (``mfm_mosi.py:467-479``)."""
+    history = []
+    for epoch in range(num_epochs):
+        key, ek, vk = jax.random.split(key, 3)
+        params, opt_state, train_loss = program.run_epoch(
+            params, opt_state, Xb, yb, ek, remainder
+        )
+        if eval_metric is None:
+            valid = float(program.evaluate(params, Xv, yv, vk))
+        else:
+            valid = eval_metric(params, Xv, yv, vk)
+        lr = scheduler.step(valid)
+        set_lr(opt_state, lr)
+        saved = keeper.update(valid, params, epoch)
+        if save_always and not saved:
+            keeper.best = valid
+            keeper.best_params = jax.tree.map(np.asarray, params)
+            keeper.best_epoch = epoch
+            saved = True
+        logger.epoch(epoch, train_loss, valid, saved, lr=lr)
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "valid": valid, "lr": lr})
+    return params, opt_state, history
+
+
+def _score(logger, y_hat, y_test, cfg, binary_threshold, threshold_mode):
+    if cfg.task == "classification":
+        return score_classification(y_hat, y_test)
+    return score_regression(y_hat, y_test, binary_threshold, threshold_mode)
+
+
+def _std_predict(apply_fn, cfg):
+    @jax.jit
+    def predict(params, x, key):
+        decoded, _, _ = apply_fn(params, x, cfg, key=key, train=False)
+        y_hat = decoded[3]
+        return jnp.squeeze(y_hat, 1) if cfg.task == "regression" else y_hat
+
+    return predict
+
+
+def train_mfm(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    optimizer: str = "adam",
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+    include_remainder: bool = False,
+    model_type: Optional[str] = None,
+):
+    """Joint single-stage training of MFM / MFM_KL (or any registry
+    model with the standard (decoded, reg, missing) return)."""
+    logger = logger or RunLogger()
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    name = model_type or ("kl" if cfg.model_type == "kl" else cfg.model_type)
+    if name not in MODELS:
+        name = "mfm"
+    init, apply_fn = get_model(name)
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    # reference uses optim.Adam(model.parameters()) — torch DEFAULT lr
+    # 1e-3 (mfm_mosi.py:403), NOT config lr; pass lr= to override (the
+    # moud/you trainers do use config lr: mfm_moud.py:466)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer(optimizer, lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    program = TrainProgram(apply_fn, cfg, "joint", opt)
+    Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize,
+                               include_remainder)
+    yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
+
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("min")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+        cfg.num_epochs, scheduler, keeper, logger, key
+    )
+
+    best_params = keeper.best_params if keeper.best_params is not None else params
+    predict = _std_predict(apply_fn, cfg)
+    y_hat = np.asarray(predict(best_params, Xte, jax.random.PRNGKey(0)))
+    logger.text("scoring y_hat")
+    metrics = _score(logger, y_hat, yte_l, cfg, binary_threshold, threshold_mode)
+    logger.record("final", **metrics)
+    return {"metrics": metrics, "params": best_params, "history": history,
+            "best_valid": keeper.best}
+
+
+def train_beta_vae(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+    include_remainder: bool = False,
+):
+    """Two-stage schedule (``mfm_mosi.py:278-281,338-360``): stage 1
+    trains gen+mmd for num_epochs, stage 2 disc+mmd for num_epochs;
+    the model is MFM_KL_EF and every epoch's params are kept (the
+    reference saves unconditionally: ``if True:`` at 342)."""
+    logger = logger or RunLogger()
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    init, apply_fn = get_model("kl_ef")
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize,
+                               include_remainder)
+    yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
+
+    history = []
+    for stage in (1, 2):
+        program = TrainProgram(apply_fn, cfg, "beta_vae", opt, stage=stage)
+        scheduler = ReduceLROnPlateau(lr)
+        keeper = BestKeeper("min")
+        params, opt_state, h = _loop(
+            program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+            cfg.num_epochs, scheduler, keeper, logger, jax.random.fold_in(key, stage),
+            save_always=True,
+        )
+        history.extend({**e, "stage": stage} for e in h)
+
+    predict = _std_predict(apply_fn, cfg)
+    y_hat = np.asarray(predict(params, Xte, jax.random.PRNGKey(0)))
+    logger.text("scoring y_hat")
+    metrics = _score(logger, y_hat, yte_l, cfg, binary_threshold, threshold_mode)
+    logger.record("final", **metrics)
+    return {"metrics": metrics, "params": params, "history": history}
+
+
+def train_mfm_missing(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+):
+    logger = logger or RunLogger()
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    init, apply_fn = get_model("missing")
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    program = TrainProgram(apply_fn, cfg, "missing", opt)
+    Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
+    yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
+
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("min")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+        cfg.num_epochs, scheduler, keeper, logger, key
+    )
+    best_params = keeper.best_params if keeper.best_params is not None else params
+
+    d_l, d_a, d_v = cfg.input_dims
+
+    @jax.jit
+    def predict(params, x, key):
+        decoded, nol, noa, nov, _, _ = apply_fn(params, x, cfg, key=key,
+                                                train=False)
+        return decoded, nol, noa, nov
+
+    decoded, nol, noa, nov = predict(best_params, Xte, jax.random.PRNGKey(0))
+    x_l, x_a, x_v = Xte[..., :d_l], Xte[..., d_l:d_l + d_a], Xte[..., d_l + d_a:]
+    # per-condition reconstruction MSEs (mfm_mosi.py:1040-1058)
+    for tag, dec in (("all present", decoded), ("l missing", nol),
+                     ("a missing", noa), ("v missing", nov)):
+        logger.text(tag, float(l2_loss(dec[0], x_l)),
+                    float(l2_loss(dec[1], x_a)), float(l2_loss(dec[2], x_v)))
+
+    def fetch_y(dec):
+        y = np.asarray(dec[3])
+        return y[:, 0] if cfg.task == "regression" else y
+
+    results = {}
+    for tag, dec in (("y_hat_nol", nol), ("y_hat_noa", noa),
+                     ("y_hat_nov", nov), ("y_hat", decoded)):
+        logger.text(f"scoring {tag}")
+        results[tag] = _score(logger, fetch_y(dec), yte_l, cfg,
+                              binary_threshold, threshold_mode)
+    logger.record("final", **{t: m for t, m in results.items()})
+    return {"metrics": results, "params": best_params, "history": history}
+
+
+def train_mfm_test_zeros(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+):
+    """Train plain MFM; at test time zero one modality's input slice at
+    a time and score each (``mfm_mosi.py:577-596``)."""
+    logger = logger or RunLogger()
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    init, apply_fn = get_model("mfm")
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    program = TrainProgram(apply_fn, cfg, "joint", opt)
+    Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
+    yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
+
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("min")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+        cfg.num_epochs, scheduler, keeper, logger, key
+    )
+    best_params = keeper.best_params if keeper.best_params is not None else params
+
+    d_l, d_a = cfg.input_dims[0], cfg.input_dims[1]
+    predict = _std_predict(apply_fn, cfg)
+
+    def zero_slice(x, lo, hi):
+        z = x.copy()
+        z[..., lo:hi] = 0.0
+        return z
+
+    results = {}
+    conditions = (
+        ("y_hat_nol", zero_slice(Xte, 0, d_l)),
+        ("y_hat_noa", zero_slice(Xte, d_l, d_l + d_a)),
+        ("y_hat_nov", zero_slice(Xte, d_l + d_a, Xte.shape[-1])),
+    )
+    for tag, x_z in conditions:
+        y_hat = np.asarray(predict(best_params, x_z, jax.random.PRNGKey(0)))
+        logger.text(f"scoring {tag}")
+        results[tag] = _score(logger, y_hat, yte_l, cfg, binary_threshold,
+                              threshold_mode)
+    logger.record("final", **results)
+    return {"metrics": results, "params": best_params, "history": history}
+
+
+def train_mfm_ablation(X_train, y_train, X_valid, y_valid, X_test, y_test,
+                       cfg, **kw):
+    """Dispatch m_a/m_b/m_c/m_d (``mfm_mosi.py:651-658``); identical
+    joint loss and loop to train_mfm."""
+    assert cfg.model_type in ("m_a", "m_b", "m_c", "m_d")
+    return train_mfm(X_train, y_train, X_valid, y_valid, X_test, y_test,
+                     cfg, model_type=cfg.model_type, **kw)
+
+
+def train_seq2seq(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+):
+    """Reconstruction-only training; reports per-modality test MSE
+    (``mfm_mosi.py:769-916``)."""
+    logger = logger or RunLogger()
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    init, apply_fn = get_model("s2s")
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    program = TrainProgram(apply_fn, cfg, "s2s", opt)
+    Xb, yb, rem = make_batches(Xtr, ytr.astype(np.float32), cfg.batchsize, False)
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("min")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv,
+        np.asarray(yv, np.float32), cfg.num_epochs, scheduler, keeper,
+        logger, key
+    )
+    best_params = keeper.best_params if keeper.best_params is not None else params
+
+    @jax.jit
+    def predict(params, x, key):
+        nol, noa, nov, _ = apply_fn(params, x, cfg, key=key, train=False)
+        return nol[0], noa[0], nov[0]
+
+    d_l, d_a = cfg.input_dims[0], cfg.input_dims[1]
+    xl_hat, xa_hat, xv_hat = predict(best_params, Xte, jax.random.PRNGKey(0))
+    mses = {
+        "x_l_nol_mse": float(l2_loss(xl_hat, Xte[..., :d_l])),
+        "x_a_noa_mse": float(l2_loss(xa_hat, Xte[..., d_l:d_l + d_a])),
+        "x_v_nov_mse": float(l2_loss(xv_hat, Xte[..., d_l + d_a:])),
+    }
+    logger.text(mses["x_l_nol_mse"], mses["x_a_noa_mse"], mses["x_v_nov_mse"])
+    logger.record("final", **mses)
+    return {"metrics": mses, "params": best_params, "history": history}
+
+
+def train_basic_missing(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+):
+    logger = logger or RunLogger()
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    init, apply_fn = get_model("bm")
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    program = TrainProgram(apply_fn, cfg, "bm", opt)
+    Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
+    yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("min")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+        cfg.num_epochs, scheduler, keeper, logger, key
+    )
+    best_params = keeper.best_params if keeper.best_params is not None else params
+
+    @jax.jit
+    def predict(params, x, key):
+        y_nol, y_noa, y_nov, _ = apply_fn(params, x, cfg, key=key, train=False)
+        if cfg.task == "regression":
+            return (jnp.squeeze(y_nol, 1), jnp.squeeze(y_noa, 1),
+                    jnp.squeeze(y_nov, 1))
+        return y_nol, y_noa, y_nov
+
+    outs = predict(best_params, Xte, jax.random.PRNGKey(0))
+    results = {}
+    for tag, y_hat in zip(("y_hat_nol", "y_hat_noa", "y_hat_nov"), outs):
+        logger.text(f"scoring {tag}")
+        results[tag] = _score(logger, np.asarray(y_hat), yte_l, cfg,
+                              binary_threshold, threshold_mode)
+    logger.record("final", **results)
+    return {"metrics": results, "params": best_params, "history": history}
+
+
+def train_mfm_acc(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+):
+    """Binary-accuracy MOSI variant (``mfm_mosi_acc.py:396-503``):
+    labels binarized upstream (y >= 0), CE disc loss, and the valid
+    metric is ACCURACY maximization (keeper mode 'max' with >=; the
+    RLROP still steps on the same number, as the reference does)."""
+    logger = logger or RunLogger()
+    cfg = cfg.replace(task="classification", output_dim=2)
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    init, apply_fn = get_model("mfm")
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    program = TrainProgram(apply_fn, cfg, "joint", opt)
+    Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
+    yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
+    predict = _std_predict(apply_fn, cfg)
+
+    def eval_accuracy(params, x, y, key):
+        logits = np.asarray(predict(params, x, key))
+        return accuracy(np.asarray(y), np.argmax(logits, axis=1))
+
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("max")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+        cfg.num_epochs, scheduler, keeper, logger, key,
+        eval_metric=eval_accuracy,
+    )
+    best_params = keeper.best_params if keeper.best_params is not None else params
+    logits = np.asarray(predict(best_params, Xte, jax.random.PRNGKey(0)))
+    metrics = score_classification(logits, yte_l)
+    logger.record("final", **metrics)
+    return {"metrics": metrics, "params": best_params, "history": history,
+            "best_valid": keeper.best}
+
+
+def train_predictor(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, kind, cfg, *,
+    h: int = 128,
+    drop: float = 0.5,
+    lr: float = 0.01,
+    optimizer: str = "adam",
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+):
+    """Discriminative baselines trained with pure task loss:
+
+    - ``kind='mfn'``  — the standalone MFN predictor
+      (``test_mosi.py:269-482``; SGD+momentum variant
+      ``test_mosi_acc.py:285``).
+    - ``kind='eflstm'`` — early-fusion LSTM (``test_mosi.py:130-156``).
+    - ``kind='self_attention'`` — Gram-matrix attention ablation
+      (``test_attention.py:266-404``; note this path is BATCH-major in
+      the reference — handled internally here).
+    """
+    from factorized_tpu.models import baselines
+
+    logger = logger or RunLogger()
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    t, _, d = Xtr.shape
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+
+    if kind == "mfn":
+        init, apply_reg = get_model("mfn")
+        params = init(ik, cfg)
+
+        def forward(params, x, key, train):
+            out = apply_reg(params, x, cfg, key=key, train=train)
+            return jnp.squeeze(out, 1) if cfg.task == "regression" else out
+
+    elif kind == "eflstm":
+        params = baselines.eflstm_init(ik, d, h, cfg.output_dim)
+
+        def forward(params, x, key, train):
+            out = baselines.eflstm_apply(params, x, drop, key=key, train=train)
+            return jnp.squeeze(out, 1) if cfg.task == "regression" else out
+
+    elif kind == "self_attention":
+        params = baselines.self_attention_init(ik, d, h, t, cfg.output_dim)
+
+        def forward(params, x, key, train):
+            xb = jnp.transpose(x, (1, 0, 2))  # trainer keeps time-major
+            out = baselines.self_attention_apply(params, xb, drop, key=key,
+                                                 train=train)
+            return jnp.squeeze(out, 1) if cfg.task == "regression" else out
+
+    else:
+        raise ValueError(f"unknown predictor kind {kind!r}")
+
+    from factorized_tpu.ops.losses import cross_entropy_loss, l1_loss
+
+    def task_loss(pred, y):
+        if cfg.task == "classification":
+            return cross_entropy_loss(pred, y)
+        return l1_loss(pred, y)
+
+    def loss_fn(params, x, y, key):
+        pred = forward(params, x, key, True)
+        loss = task_loss(pred, y)
+        return loss, loss
+
+    def eval_fn(params, x, y, key):
+        return task_loss(forward(params, x, key, False), y)
+
+    opt = make_optimizer(optimizer, lr, cfg.momentum)
+    opt_state = opt.init(params)
+    program = TrainProgram(None, cfg, "custom", opt, loss_fn=loss_fn,
+                           eval_fn=eval_fn)
+    Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
+    yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("min")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+        cfg.num_epochs, scheduler, keeper, logger, key
+    )
+    best_params = keeper.best_params if keeper.best_params is not None else params
+
+    predict = jax.jit(lambda p, x, k: forward(p, x, k, False))
+    y_hat = np.asarray(predict(best_params, Xte, jax.random.PRNGKey(0)))
+    metrics = _score(logger, y_hat, yte_l, cfg, binary_threshold,
+                     threshold_mode)
+    logger.record("final", **metrics)
+    return {"metrics": metrics, "params": best_params, "history": history,
+            "best_valid": keeper.best}
