@@ -1,0 +1,303 @@
+"""Benchmark: MFM training-step throughput, ours (JAX/TPU) vs the
+reference's stack (PyTorch CPU), at the pinned best-acc MOSI config
+(``mfm_mosi.py:1227-1288``: batch 32, t=20, dims [300,5,20],
+h=[88,64,48], mem 64).
+
+Prints EXACTLY ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+Diagnostics go to stderr. The torch baseline is measured once and
+cached in ``.bench_cache.json`` (keyed by config + torch version).
+
+The torch model here is OUR implementation of the MFM math (the same
+equations as factorized_tpu.models.mfm, built from torch.nn primitives)
+— used purely as the performance baseline the north-star defines
+(BASELINE.md: >= 50x PyTorch-CPU on one v5e chip).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench_cache.json")
+
+BATCH = 32
+T = 20
+STEPS_JAX = 100
+STEPS_TORCH = 6
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_cfg():
+    from factorized_tpu.config import best_acc_mosi_config
+
+    return best_acc_mosi_config()
+
+
+def bench_jax(cfg):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from factorized_tpu.models import get_model
+    from factorized_tpu.train import TrainProgram, make_optimizer
+
+    init, apply_fn = get_model("mfm")
+    key = jax.random.PRNGKey(123)
+    params = init(key, cfg)
+    opt = make_optimizer("adam", 1e-3)
+    opt_state = opt.init(params)
+    program = TrainProgram(apply_fn, cfg, "joint", opt)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(T, BATCH, cfg.d_total)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(BATCH,)), jnp.float32)
+
+    step = program.step
+    lr = jnp.asarray(1e-3, jnp.float32)
+    # warmup/compile; NOTE float() materialization — block_until_ready
+    # under-reports through the axon tunnel
+    t0 = time.perf_counter()
+    params, opt_state, tracked = step(params, opt_state, x, y,
+                                      jax.random.PRNGKey(0), lr)
+    float(tracked)
+    log(f"jax compile+first step: {time.perf_counter() - t0:.2f}s "
+        f"on {jax.devices()[0].platform}")
+
+    t0 = time.perf_counter()
+    for i in range(STEPS_JAX):
+        params, opt_state, tracked = step(params, opt_state, x, y,
+                                          jax.random.fold_in(
+                                              jax.random.PRNGKey(1), i),
+                                          lr)
+    val = float(tracked)
+    dt = time.perf_counter() - t0
+    log(f"jax per-step dispatch mode: {STEPS_JAX} steps in {dt:.3f}s "
+        f"-> {STEPS_JAX / dt:.1f} steps/s (loss {val:.4f})")
+
+    # epoch mode — the production path: whole epoch as one XLA program
+    NB = 39  # MOSI: 1248 shuffled train samples / batch 32
+    Xb = jnp.asarray(rng.normal(size=(NB, T, BATCH, cfg.d_total)),
+                     jnp.float32)
+    yb = jnp.asarray(rng.normal(size=(NB, BATCH)), jnp.float32)
+    t0 = time.perf_counter()
+    params, opt_state, acc = program.epoch(params, opt_state, Xb, yb,
+                                           jax.random.PRNGKey(2), lr)
+    float(acc)
+    log(f"jax epoch compile+first: {time.perf_counter() - t0:.2f}s")
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        params, opt_state, acc = program.epoch(
+            params, opt_state, Xb, yb,
+            jax.random.fold_in(jax.random.PRNGKey(3), i), lr)
+        float(acc)
+    dt = (time.perf_counter() - t0) / reps
+    sps = NB / dt
+    log(f"jax epoch mode: {dt * 1000:.1f}ms/epoch -> {sps:.1f} steps/s")
+    return sps
+
+
+def _torch_mfm(cfg):
+    """Torch implementation of the MFM forward/loss (our own, for the
+    CPU baseline)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    d_l, d_a, d_v = cfg.input_dims
+    dh_l, dh_a, dh_v = cfg.h_dims
+    total_h = dh_l + dh_a + dh_v
+    att_in = total_h * cfg.windowsize
+    gamma_in = att_in + cfg.memsize
+    last = total_h + cfg.memsize
+
+    class MLP2(nn.Module):
+        def __init__(self, i, h, o, p):
+            super().__init__()
+            self.a, self.b, self.drop = nn.Linear(i, h), nn.Linear(h, o), nn.Dropout(p)
+
+        def forward(self, x):
+            return self.b(self.drop(F.relu(self.a(x))))
+
+    class TorchMFM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc = nn.ModuleList([
+                nn.LSTMCell(d, cfg_z) for d, cfg_z in
+                [(d_l, cfg.zl_size), (d_a, cfg.za_size), (d_v, cfg.zv_size)]
+            ])
+            self.enc_fc = nn.ModuleList([
+                nn.Linear(z, z) for z in
+                (cfg.zl_size, cfg.za_size, cfg.zv_size)
+            ])
+            self.mfn = nn.ModuleList([
+                nn.LSTMCell(d, h) for d, h in
+                [(d_l, dh_l), (d_a, dh_a), (d_v, dh_v)]
+            ])
+            self.att1 = MLP2(att_in, cfg.att1_shape, att_in, cfg.att1_drop)
+            self.att2 = MLP2(att_in, cfg.att2_shape, cfg.memsize, cfg.att2_drop)
+            self.g1 = MLP2(gamma_in, cfg.gamma1_shape, cfg.memsize, cfg.gamma1_drop)
+            self.g2 = MLP2(gamma_in, cfg.gamma2_shape, cfg.memsize, cfg.gamma2_drop)
+            self.to_zy = nn.Linear(last, cfg.zy_size)
+            zs = (cfg.zy_size, cfg.zl_size, cfg.za_size, cfg.zv_size)
+            fs = (cfg.fy_size, cfg.fl_size, cfg.fa_size, cfg.fv_size)
+            ps = (cfg.zy_to_fy_dropout, cfg.zl_to_fl_dropout,
+                  cfg.za_to_fa_dropout, cfg.zv_to_fv_dropout)
+            self.zf = nn.ModuleList([MLP2(z, f, f, p)
+                                     for z, f, p in zip(zs, fs, ps)])
+            self.dec = nn.ModuleList([
+                nn.LSTMCell(cfg.fy_size + f, cfg.fy_size + f)
+                for f in (cfg.fl_size, cfg.fa_size, cfg.fv_size)
+            ])
+            self.dec_fc = nn.ModuleList([
+                nn.Linear(cfg.fy_size + f, d)
+                for f, d in [(cfg.fl_size, d_l), (cfg.fa_size, d_a),
+                             (cfg.fv_size, d_v)]
+            ])
+            self.head = MLP2(cfg.fy_size, cfg.fy_size, cfg.output_dim,
+                             cfg.fy_to_y_dropout)
+
+        def encode(self, cell, fc, x):
+            n = x.shape[1]
+            h = torch.zeros(n, cell.hidden_size)
+            c = torch.zeros(n, cell.hidden_size)
+            for i in range(x.shape[0]):
+                h, c = cell(x[i], (h, c))
+            return fc(h)
+
+        def decode(self, cell, fc, hT, t):
+            n, hd = hT.shape
+            h = torch.zeros(n, hd)
+            c = torch.zeros(n, hd)
+            outs = []
+            for i in range(t):
+                h, c = cell(hT if i == 0 else outs[-1], (h, c))
+                outs.append(h)
+            return fc(torch.stack(outs))
+
+        def mmd(self, z):
+            def k(a, b):
+                d = a.shape[1]
+                sq = ((a.unsqueeze(1) - b.unsqueeze(0)) ** 2).mean(2) / d
+                return torch.exp(-sq)
+
+            r = torch.randn_like(z)
+            return k(r, r).mean() + k(z, z).mean() - 2 * k(r, z).mean()
+
+        def forward(self, x):
+            t = x.shape[0]
+            xs = [x[..., :d_l], x[..., d_l:d_l + d_a], x[..., d_l + d_a:]]
+            z = [self.encode(c, f, xm)
+                 for c, f, xm in zip(self.enc, self.enc_fc, xs)]
+            n = x.shape[1]
+            hs = [torch.zeros(n, h) for h in (dh_l, dh_a, dh_v)]
+            cs = [torch.zeros(n, h) for h in (dh_l, dh_a, dh_v)]
+            mem = torch.zeros(n, cfg.memsize)
+            for i in range(t):
+                prev = torch.cat(cs, 1)
+                new = [cell(xm[i], (h, c)) for cell, xm, h, c in
+                       zip(self.mfn, xs, hs, cs)]
+                newc = torch.cat([c for _, c in new], 1)
+                cstar = torch.cat([prev, newc], 1)
+                att = torch.softmax(self.att1(cstar), 1) * cstar
+                chat = torch.tanh(self.att2(att))
+                both = torch.cat([att, mem], 1)
+                mem = (torch.sigmoid(self.g1(both)) * mem
+                       + torch.sigmoid(self.g2(both)) * chat)
+                hs = [h for h, _ in new]
+                cs = [c for _, c in new]
+            zy = self.to_zy(torch.cat(hs + [mem], 1))
+            mmd = sum(self.mmd(v) for v in z) + self.mmd(zy)
+            f = [torch.relu(m(v)) for m, v in zip(self.zf, [zy] + z)]
+            fy = f[0]
+            hats = [self.decode(c, fc, torch.cat([fy, fm], 1), t)
+                    for c, fc, fm in zip(self.dec, self.dec_fc, f[1:])]
+            return hats, self.head(fy), mmd
+
+    return TorchMFM()
+
+
+def bench_torch(cfg):
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    model = _torch_mfm(cfg)
+    opt = torch.optim.Adam(model.parameters())
+    rng = np.random.default_rng(0)
+    x = torch.tensor(rng.normal(size=(T, BATCH, cfg.d_total)),
+                     dtype=torch.float32)
+    y = torch.tensor(rng.normal(size=(BATCH,)), dtype=torch.float32)
+    d_l, d_a, _ = cfg.input_dims
+
+    def step():
+        opt.zero_grad()
+        hats, y_hat, mmd = model(x)
+        gen = (cfg.lda_xl * F.mse_loss(hats[0], x[..., :d_l])
+               + cfg.lda_xa * F.mse_loss(hats[1], x[..., d_l:d_l + d_a])
+               + cfg.lda_xv * F.mse_loss(hats[2], x[..., d_l + d_a:]))
+        disc = F.l1_loss(y_hat.squeeze(1), y)
+        loss = disc + gen + cfg.lda_mmd * mmd
+        loss.backward()
+        opt.step()
+        return float(disc)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(STEPS_TORCH):
+        step()
+    dt = time.perf_counter() - t0
+    sps = STEPS_TORCH / dt
+    log(f"torch-cpu: {STEPS_TORCH} steps in {dt:.2f}s -> {sps:.3f} steps/s")
+    return sps
+
+
+def cached_torch_baseline(cfg):
+    import torch
+
+    cfg_key = hashlib.sha1(
+        json.dumps([cfg.to_dict(), BATCH, T, torch.__version__],
+                   sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                cache = json.load(f)
+            if cache.get("key") == cfg_key:
+                log(f"torch baseline from cache: {cache['sps']:.3f} steps/s")
+                return cache["sps"]
+        except Exception:
+            pass
+    sps = bench_torch(cfg)
+    with open(CACHE, "w") as f:
+        json.dump({"key": cfg_key, "sps": sps}, f)
+    return sps
+
+
+def main():
+    cfg = get_cfg()
+    torch_sps = cached_torch_baseline(cfg)
+    jax_sps = bench_jax(cfg)
+    result = {
+        "metric": "mosi_mfm_train_steps_per_sec",
+        "value": round(jax_sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(jax_sps / torch_sps, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,8 +37,19 @@ from factorized_tpu.models.common import (
     zf_apply,
 )
 from factorized_tpu.ops.core import linear_apply, linear_init
+from factorized_tpu.ops.fused import (
+    fused_decoder_scan,
+    fused_lstm_scan,
+    fused_mfm_encode,
+)
 from factorized_tpu.ops.lstm import decoder_apply, encoder_apply, encoder_init
 from factorized_tpu.ops.losses import l2_loss, loss_kld, loss_mmd
+from factorized_tpu.models.common import mfn_drops
+
+# Use the block-diagonal fused scans (ops/fused.py) — same math as the
+# modular path up to float reassociation, ~2x fewer sequential loops on
+# TPU. tests/test_fused.py asserts equivalence; flip for debugging.
+FUSED = True
 
 
 # ---------------------------------------------------------------- helpers
@@ -53,11 +64,39 @@ def _zf_all(params, zy, zl, za, zv, cfg, key, train):
 
 
 def _decode(params, fy, fl, fa, fv, t, cfg, key, train):
-    x_l_hat = decoder_apply(params["dec"]["decoder_l"], jnp.concatenate([fy, fl], 1), t)
-    x_a_hat = decoder_apply(params["dec"]["decoder_a"], jnp.concatenate([fy, fa], 1), t)
-    x_v_hat = decoder_apply(params["dec"]["decoder_v"], jnp.concatenate([fy, fv], 1), t)
+    drives = [jnp.concatenate([fy, f], 1) for f in (fl, fa, fv)]
+    dec = params["dec"]
+    if FUSED:
+        x_l_hat, x_a_hat, x_v_hat = fused_decoder_scan(
+            [dec["decoder_l"], dec["decoder_a"], dec["decoder_v"]], drives, t
+        )
+    else:
+        x_l_hat = decoder_apply(dec["decoder_l"], drives[0], t)
+        x_a_hat = decoder_apply(dec["decoder_a"], drives[1], t)
+        x_v_hat = decoder_apply(dec["decoder_v"], drives[2], t)
     y_hat = yhead_apply(params["fy_to_y"], fy, cfg.fy_to_y_dropout, key, train)
     return [x_l_hat, x_a_hat, x_v_hat, y_hat]
+
+
+def _encode_stage(params, x_l, x_a, x_v, cfg, key, train):
+    """zl/za/zv latents + MFN last_hs, fused or modular."""
+    enc = params["enc"]
+    if FUSED:
+        (hl, ha, hv), mfn_last = fused_mfm_encode(
+            [enc["encoder_l"]["lstm"], enc["encoder_a"]["lstm"],
+             enc["encoder_v"]["lstm"]],
+            params["mfn_enc"]["mfn"], x_l, x_a, x_v,
+            mem_dim=cfg.memsize, drops=mfn_drops(cfg), key=key, train=train,
+        )
+        zl = linear_apply(enc["encoder_l"]["fc1"], hl)
+        za = linear_apply(enc["encoder_a"]["fc1"], ha)
+        zv = linear_apply(enc["encoder_v"]["fc1"], hv)
+    else:
+        zl = encoder_apply(enc["encoder_l"], x_l)
+        za = encoder_apply(enc["encoder_a"], x_a)
+        zv = encoder_apply(enc["encoder_v"], x_v)
+        mfn_last = run_mfn(params["mfn_enc"], x_l, x_a, x_v, cfg, key, train)
+    return zl, za, zv, mfn_last
 
 
 def _mmd4(key, zl, za, zv, zy):
@@ -88,10 +127,8 @@ def mfm_apply(params, x, cfg, *, key, train=False):
     x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
     k = subkeys(key, 4)
 
-    zl = encoder_apply(params["enc"]["encoder_l"], x_l)
-    za = encoder_apply(params["enc"]["encoder_a"], x_a)
-    zv = encoder_apply(params["enc"]["encoder_v"], x_v)
-    mfn_last = run_mfn(params["mfn_enc"], x_l, x_a, x_v, cfg, k[0], train)
+    zl, za, zv, mfn_last = _encode_stage(params, x_l, x_a, x_v, cfg, k[0],
+                                         train)
     zy = linear_apply(params["mfn_enc"]["last_to_zy"], mfn_last)
 
     mmd = _mmd4(k[1], zl, za, zv, zy)
@@ -147,12 +184,24 @@ def mfm_kl_ef_apply(params, x, cfg, *, key, train=False):
     x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
     k = subkeys(key, 2)
 
-    zl_last = encoder_apply(params["enc"]["encoder_l"], x_l)
-    za_last = encoder_apply(params["enc"]["encoder_a"], x_a)
-    zv_last = encoder_apply(params["enc"]["encoder_v"], x_v)
+    enc = params["enc"]
+    if FUSED:
+        hl, ha, hv, h_ef = fused_lstm_scan(
+            [enc["encoder_l"]["lstm"], enc["encoder_a"]["lstm"],
+             enc["encoder_v"]["lstm"], params["ef_encoder"]["lstm"]],
+            [x_l, x_a, x_v, x],
+        )
+        zl_last = linear_apply(enc["encoder_l"]["fc1"], hl)
+        za_last = linear_apply(enc["encoder_a"]["fc1"], ha)
+        zv_last = linear_apply(enc["encoder_v"]["fc1"], hv)
+        ef_last = linear_apply(params["ef_encoder"]["fc1"], h_ef)
+    else:
+        zl_last = encoder_apply(enc["encoder_l"], x_l)
+        za_last = encoder_apply(enc["encoder_a"], x_a)
+        zv_last = encoder_apply(enc["encoder_v"], x_v)
+        ef_last = encoder_apply(params["ef_encoder"], x)
     zl, za, zv, lv_l, lv_a, lv_v = _var_latents(params, zl_last, za_last, zv_last)
 
-    ef_last = encoder_apply(params["ef_encoder"], x)
     zy = linear_apply(params["last_to_zy"], ef_last)
     lv_y = linear_apply(params["last_to_logvarzy"], ef_last)
 
@@ -188,12 +237,11 @@ def mfm_kl_apply(params, x, cfg, *, key, train=False):
     x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
     k = subkeys(key, 3)
 
-    zl_last = encoder_apply(params["enc"]["encoder_l"], x_l)
-    za_last = encoder_apply(params["enc"]["encoder_a"], x_a)
-    zv_last = encoder_apply(params["enc"]["encoder_v"], x_v)
+    zl_last, za_last, zv_last, mfn_last = _encode_stage(
+        params, x_l, x_a, x_v, cfg, k[0], train
+    )
     zl, za, zv, lv_l, lv_a, lv_v = _var_latents(params, zl_last, za_last, zv_last)
 
-    mfn_last = run_mfn(params["mfn_enc"], x_l, x_a, x_v, cfg, k[0], train)
     zy = linear_apply(params["mfn_enc"]["last_to_zy"], mfn_last)
     lv_y = linear_apply(params["last_to_logvarzy"], mfn_last)
 
@@ -236,21 +284,30 @@ def mfm_missing_apply(params, x, cfg, *, key, train=False):
     x_l, x_a, x_v = split_modalities(x, cfg.input_dims)
     k = subkeys(key, 6)
 
-    zl = encoder_apply(params["enc"]["encoder_l"], x_l)
-    za = encoder_apply(params["enc"]["encoder_a"], x_a)
-    zv = encoder_apply(params["enc"]["encoder_v"], x_v)
-    mfn_last = run_mfn(params["mfn_enc"], x_l, x_a, x_v, cfg, k[0], train)
+    zl, za, zv, mfn_last = _encode_stage(params, x_l, x_a, x_v, cfg, k[0],
+                                         train)
     zy = linear_apply(params["mfn_enc"]["last_to_zy"], mfn_last)
 
     x_la = jnp.concatenate([x_l, x_a], axis=2)
     x_lv = jnp.concatenate([x_l, x_v], axis=2)
     x_av = jnp.concatenate([x_a, x_v], axis=2)
-    zv_nov = encoder_apply(params["encoder_la_to_v"], x_la)
-    za_noa = encoder_apply(params["encoder_lv_to_a"], x_lv)
-    zl_nol = encoder_apply(params["encoder_av_to_l"], x_av)
-    zy_nov = encoder_apply(params["encoder_la_to_y"], x_la)
-    zy_noa = encoder_apply(params["encoder_lv_to_y"], x_lv)
-    zy_nol = encoder_apply(params["encoder_av_to_y"], x_av)
+    surrogate_names = ("encoder_la_to_v", "encoder_lv_to_a",
+                      "encoder_av_to_l", "encoder_la_to_y",
+                      "encoder_lv_to_y", "encoder_av_to_y")
+    surrogate_xs = [x_la, x_lv, x_av, x_la, x_lv, x_av]
+    if FUSED:
+        hs = fused_lstm_scan(
+            [params[n]["lstm"] for n in surrogate_names], surrogate_xs
+        )
+        (zv_nov, za_noa, zl_nol, zy_nov, zy_noa, zy_nol) = [
+            linear_apply(params[n]["fc1"], h)
+            for n, h in zip(surrogate_names, hs)
+        ]
+    else:
+        (zv_nov, za_noa, zl_nol, zy_nov, zy_noa, zy_nol) = [
+            encoder_apply(params[n], xin)
+            for n, xin in zip(surrogate_names, surrogate_xs)
+        ]
 
     mmd = _mmd4(k[1], zl, za, zv, zy)
     missing_loss = (

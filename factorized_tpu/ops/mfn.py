@@ -131,7 +131,9 @@ def mfn_apply(
         jnp.zeros((n, dh_v), dtype),
         jnp.zeros((n, mem_dim), dtype),
     )
+    from factorized_tpu.ops.lstm import TIME_UNROLL
+
     (h_l, _, h_a, _, h_v, _, mem), _ = jax.lax.scan(
-        step, init, (xp_l, xp_a, xp_v, step_keys)
+        step, init, (xp_l, xp_a, xp_v, step_keys), unroll=TIME_UNROLL
     )
     return jnp.concatenate([h_l, h_a, h_v, mem], axis=1)

@@ -234,21 +234,26 @@ def make_eval_fn(apply_fn, cfg, variant: str):
 
 # ------------------------------------------------------- optimizer setup
 
-def make_optimizer(name: str, lr: float, momentum: float = 0.9):
-    """Adam (torch defaults: b1=.9 b2=.999 eps=1e-8) or SGD+momentum,
-    with the LR injected as a runtime hyperparameter."""
+def make_optimizer(name: str, lr: float = None, momentum: float = 0.9):
+    """LR-less gradient transform; the step applies ``p - lr * u`` with
+    lr as a traced scalar argument, so ReduceLROnPlateau changes never
+    recompile.
+
+    Implementation notes (measured on v5e, MFM size, 39-batch epoch):
+    - ``optax.inject_hyperparams`` cost 4x runtime (263ms vs 69ms/epoch)
+      — avoided entirely;
+    - ``optax.flatten`` collapses the per-leaf update ops into
+      single-vector ops: epoch compile 11s vs 204s un-flattened.
+
+    Semantics match torch: Adam (b1=.9, b2=.999, eps=1e-8, update
+    ``m_hat/(sqrt(v_hat)+eps)``), SGD ``buf = mu*buf + g; p -= lr*buf``.
+    ``lr`` is accepted for signature compatibility and ignored here.
+    """
     if name == "adam":
-        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        return optax.flatten(optax.scale_by_adam(eps=1e-8))
     if name == "sgd":
-        return optax.inject_hyperparams(
-            lambda learning_rate: optax.sgd(learning_rate, momentum=momentum)
-        )(learning_rate=lr)
+        return optax.flatten(optax.trace(decay=momentum))
     raise ValueError(f"unknown optimizer {name!r}")
-
-
-def set_lr(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-    return opt_state
 
 
 # ------------------------------------------------------ epoch machinery
@@ -273,20 +278,21 @@ class TrainProgram:
             eval_fn = make_eval_fn(apply_fn, cfg, variant)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def step(params, opt_state, x, y, key):
+        def step(params, opt_state, x, y, key, lr):
             (_, tracked), grads = grad_fn(params, x, y, key)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
             return params, opt_state, tracked
 
-        def epoch(params, opt_state, Xb, yb, key):
+        def epoch(params, opt_state, Xb, yb, key, lr):
             nb = Xb.shape[0]
             keys = jax.random.split(key, nb)
 
             def body(carry, batch):
                 params, opt_state, acc = carry
                 x, y, k = batch
-                params, opt_state, tracked = step(params, opt_state, x, y, k)
+                params, opt_state, tracked = step(params, opt_state, x, y,
+                                                  k, lr)
                 return (params, opt_state, acc + tracked), None
 
             (params, opt_state, acc), _ = jax.lax.scan(
@@ -299,16 +305,21 @@ class TrainProgram:
         self.step = jax.jit(step, donate_argnums=(0, 1))
         self.evaluate = jax.jit(eval_fn)
 
-    def run_epoch(self, params, opt_state, Xb, yb, key, remainder=None):
+    def run_epoch(self, params, opt_state, Xb, yb, key, lr,
+                  remainder=None):
         """One epoch incl. the optional ragged remainder batch. Returns
-        (params, opt_state, mean_tracked_over_full_batches)."""
+        (params, opt_state, mean_tracked_over_full_batches). ``lr`` is
+        passed as a traced f32 scalar so scheduler changes never
+        recompile."""
         nb = Xb.shape[0]
-        params, opt_state, acc = self.epoch(params, opt_state, Xb, yb, key)
+        lr = jnp.asarray(lr, jnp.float32)
+        params, opt_state, acc = self.epoch(params, opt_state, Xb, yb,
+                                            key, lr)
         if remainder is not None and remainder[0].shape[1] > 0:
             rx, ry = remainder
             rkey = jax.random.fold_in(key, nb)
             params, opt_state, r_tracked = self.step(
-                params, opt_state, rx, ry, rkey
+                params, opt_state, rx, ry, rkey, lr
             )
             # reference sums over nb+1 batches but divides by nb
             # (mfm_moud.py:314,342) — reproduce that mean

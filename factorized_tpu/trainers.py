@@ -37,7 +37,6 @@ from factorized_tpu.train import (
     TrainProgram,
     make_batches,
     make_optimizer,
-    set_lr,
     shuffle_and_time_major,
 )
 from factorized_tpu.utils.checkpoint import BestKeeper
@@ -86,17 +85,17 @@ def _loop(
     best-valid checkpointing — the shape of every reference trainer
     (``mfm_mosi.py:467-479``)."""
     history = []
+    lr = scheduler.lr
     for epoch in range(num_epochs):
         key, ek, vk = jax.random.split(key, 3)
         params, opt_state, train_loss = program.run_epoch(
-            params, opt_state, Xb, yb, ek, remainder
+            params, opt_state, Xb, yb, ek, lr, remainder
         )
         if eval_metric is None:
             valid = float(program.evaluate(params, Xv, yv, vk))
         else:
             valid = eval_metric(params, Xv, yv, vk)
         lr = scheduler.step(valid)
-        set_lr(opt_state, lr)
         saved = keeper.update(valid, params, epoch)
         if save_always and not saved:
             keeper.best = valid
