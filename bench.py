@@ -287,6 +287,9 @@ def cached_torch_baseline(cfg):
 
 
 def main():
+    from factorized_tpu.utils.compilation_cache import enable
+
+    enable()
     cfg = get_cfg()
     torch_sps = cached_torch_baseline(cfg)
     jax_sps = bench_jax(cfg)

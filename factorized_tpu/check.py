@@ -1,0 +1,161 @@
+"""Results aggregation — the rebuild of the reference's ``check.py``
+log scraper.
+
+Two sources:
+- JSONL run records written by :class:`factorized_tpu.utils.logging.
+  RunLogger` (the native path);
+- legacy stdout ``.txt`` logs in the reference's printed format
+  (``check.py:174-189`` regex semantics: ``Accuracy`` lines,
+  ``weighted avg`` report rows, ``mae``/``corr:``/``mult_acc`` lines,
+  and the missing-modality ``scoring y_hat_no*`` sections /
+  ``{all present,l,a,v} missing`` reconstruction-MSE lines,
+  ``check.py:43-110``).
+
+Per run the best values are reported (max for acc/fscore/corr/mult_acc,
+min for mae), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+
+
+def _best(metrics):
+    out = {}
+    agg = {
+        "acc": max, "fscore": max, "corr": max, "mult_acc": max,
+        "mae": min,
+    }
+    for k, fn in agg.items():
+        vals = [v for v in metrics.get(k, []) if v == v]  # drop NaN
+        if vals:
+            out[k] = fn(vals)
+    return out
+
+
+def parse_text_log(path, condition=None):
+    """Scrape one reference-format stdout log. ``condition`` filters a
+    missing-modality section ('l'|'a'|'v'|None), mirroring the ``ttt``/
+    ``add`` machinery at ``check.py:57-71``."""
+    metrics = defaultdict(list)
+    recon = defaultdict(list)
+    add = condition is None
+    with open(path, errors="replace") as f:
+        for line in f:
+            for tag in ("all present", "l missing", "a missing", "v missing"):
+                if line.startswith(tag):
+                    try:
+                        recon[tag].append(
+                            [float(x) for x in line.split()[2:]]
+                        )
+                    except ValueError:
+                        pass
+            if condition is not None:
+                if f"scoring y_hat_no{condition}" in line:
+                    add = True
+                elif "scoring y_hat_no" in line:
+                    add = False
+            if not add:
+                continue
+            parts = line.split()
+            if "Accuracy" in line and len(parts) >= 2:
+                try:
+                    metrics["acc"].append(float(parts[1]))
+                except ValueError:
+                    pass
+            if "avg" in line and "total" in line and len(parts) >= 6:
+                try:
+                    metrics["fscore"].append(float(parts[5]))
+                except ValueError:
+                    pass
+            if "weighted avg" in line and len(parts) >= 5:
+                try:
+                    metrics["fscore"].append(float(parts[4]))
+                except ValueError:
+                    pass
+            if "mae" in line and len(parts) == 2:
+                try:
+                    metrics["mae"].append(float(parts[1]))
+                except ValueError:
+                    pass
+            if "corr:" in line and len(parts) >= 2:
+                try:
+                    metrics["corr"].append(float(parts[1]))
+                except ValueError:
+                    pass
+            if "mult_acc" in line and len(parts) >= 2:
+                try:
+                    metrics["mult_acc"].append(float(parts[1]))
+                except ValueError:
+                    pass
+    return metrics, recon
+
+
+def parse_jsonl(path):
+    """Collect metrics from a RunLogger JSONL file."""
+    metrics = defaultdict(list)
+    key_map = {
+        "mae": "mae", "corr": "corr", "mult_acc": "mult_acc",
+        "mult_f_score": "fscore", "binary_accuracy": "acc",
+        "accuracy": "acc", "f1_weighted": "fscore",
+    }
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("kind") != "final":
+                continue
+            flat = {}
+            for k, v in rec.items():
+                if isinstance(v, dict):  # per-condition sub-metrics
+                    for kk, vv in v.items():
+                        flat[kk] = vv
+                else:
+                    flat[k] = v
+            for k, v in flat.items():
+                if k in key_map and isinstance(v, (int, float)):
+                    metrics[key_map[k]].append(v)
+    return metrics
+
+
+def check_dir(directory, condition=None, out=print):
+    """Aggregate every .jsonl/.txt log under ``directory``; print
+    per-file bests (reference format) and return a summary dict."""
+    summary = {}
+    files = sorted(os.listdir(directory))
+    all_recon = defaultdict(list)
+    for name in files:
+        path = os.path.join(directory, name)
+        if name.endswith(".jsonl"):
+            metrics = parse_jsonl(path)
+            recon = {}
+        elif name.endswith(".txt") or name.endswith(".log"):
+            metrics, recon = parse_text_log(path, condition)
+        else:
+            continue
+        best = _best(metrics)
+        if not best and not recon:
+            continue
+        summary[name] = best
+        out(name)
+        for k in ("acc", "fscore", "mae", "corr", "mult_acc"):
+            if k in best:
+                out(f"{k}: {best[k]}")
+        out("")
+        for tag, rows in recon.items():
+            all_recon[tag].extend(rows)
+    # missing-modality aggregation: min over runs per condition
+    # (check.py:99-110)
+    for tag, rows in all_recon.items():
+        arr = np.asarray(rows)
+        if arr.size:
+            out(tag, np.min(arr, axis=0))
+            summary.setdefault("_recon_min", {})[tag] = np.min(
+                arr, axis=0).tolist()
+    return summary

@@ -1,0 +1,280 @@
+"""Command-line experiment surface — the rebuild of the reference's
+entry-point scripts as subcommands of one CLI:
+
+================================  =================================
+command                           reference script
+================================  =================================
+``mosi``                          ``mfm_mosi.py`` (argparse at 33-38,
+                                  driver loop at 1302-1369)
+``mosi_acc``                      ``mfm_mosi_acc.py``
+``moud`` / ``you`` / ``mmmo``     ``mfm_moud.py`` / ``mfm_you.py`` /
+                                  ``mfm_mmmo.py``
+``test_mosi``                     ``test_mosi.py`` (frozen-ckpt eval)
+``test_attention``                ``test_attention.py``
+``check``                         ``check.py``
+================================  =================================
+
+Modes replace the reference's infinite ``while True`` random search:
+``--mode search --trials N`` (N=0 -> run forever, exactly like the
+reference), ``--mode best`` (pinned known-good config,
+``mfm_mosi.py:1227-1288``), ``--mode single`` (config file + flags).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+
+from factorized_tpu import trainers
+from factorized_tpu.config import (
+    MFMConfig,
+    best_acc_mosi_config,
+    sample_search_config,
+)
+from factorized_tpu.utils.logging import RunLogger
+
+
+DATASETS = {
+    "mosi": dict(task="regression", threshold=0.0, mode="ge",
+                 input_dims=[300, 5, 20], output_dim=1),
+    "moud": dict(task="classification", threshold=None, mode="ge",
+                 input_dims=[300, 74, 36], output_dim=2,
+                 include_remainder=True),
+    "you": dict(task="classification", threshold=None, mode="ge",
+                input_dims=[300, 74, 36], output_dim=3,
+                include_remainder=True),
+    "mmmo": dict(task="regression", threshold=3.5, mode="gt",
+                 input_dims=[300, 74, 36], output_dim=1),
+}
+
+
+def load_dataset(name, seqlength, data_root):
+    from factorized_tpu.data import mmmo, mosi, moud, youtube
+
+    mod = {"mosi": mosi, "moud": moud, "you": youtube, "mmmo": mmmo}[name]
+    return mod.get_data(seqlength, data_root=data_root)
+
+
+def dispatch_trainer(data, cfg, info, *, lr, logger, seed):
+    """The reference's driver if-chain (``mfm_mosi.py:1358-1369``)."""
+    kw = dict(logger=logger, seed=seed, lr=lr)
+    if info["threshold"] is not None:
+        kw.update(binary_threshold=info["threshold"],
+                  threshold_mode=info["mode"])
+    if cfg.missing == 1 and cfg.model_type == "bm":
+        return trainers.train_basic_missing(*data, cfg, **kw)
+    if cfg.missing == 1 and cfg.model_type == "mfm":
+        return trainers.train_mfm_missing(*data, cfg, **kw)
+    if cfg.missing == 1 and cfg.model_type == "s2s":
+        kw.pop("binary_threshold", None)
+        kw.pop("threshold_mode", None)
+        return trainers.train_seq2seq(*data, cfg, **kw)
+    if cfg.zeros == 1 and cfg.model_type == "mfm":
+        return trainers.train_mfm_test_zeros(*data, cfg, **kw)
+    if cfg.model_type in ("mfm", "kl"):
+        kw["include_remainder"] = info.get("include_remainder", False)
+        return trainers.train_mfm(*data, cfg, **kw)
+    if cfg.model_type == "kl_ef":
+        kw["include_remainder"] = info.get("include_remainder", False)
+        return trainers.train_beta_vae(*data, cfg, **kw)
+    if cfg.model_type in ("m_a", "m_b", "m_c", "m_d"):
+        return trainers.train_mfm_ablation(*data, cfg, **kw)
+    raise ValueError(f"no trainer for type={cfg.model_type!r} "
+                     f"missing={cfg.missing} zeros={cfg.zeros}")
+
+
+def run_dataset(args):
+    info = DATASETS[args.dataset]
+    base = (MFMConfig.from_json(args.config) if args.config
+            else MFMConfig(seqlength=20))
+    data = load_dataset(args.dataset, base.seqlength, args.data_root)
+    rng = random.Random(args.seed)
+
+    trial = 0
+    while True:
+        if args.mode == "search":
+            cfg = sample_search_config(args.dataset, rng,
+                                       model_type=args.type,
+                                       missing=args.missing,
+                                       zeros=args.zeros)
+        elif args.mode == "best":
+            cfg = best_acc_mosi_config(model_type=args.type,
+                                       missing=args.missing,
+                                       zeros=args.zeros)
+            if args.dataset != "mosi":
+                cfg = cfg.replace(input_dims=info["input_dims"],
+                                  output_dim=info["output_dim"],
+                                  task=info["task"])
+        else:  # single
+            cfg = base.replace(model_type=args.type, missing=args.missing,
+                               zeros=args.zeros,
+                               input_dims=info["input_dims"],
+                               output_dim=info["output_dim"],
+                               task=info["task"])
+        if args.epochs:
+            cfg = cfg.replace(num_epochs=args.epochs)
+        if args.batchsize:
+            cfg = cfg.replace(batchsize=args.batchsize)
+
+        logger = RunLogger(args.out, run_id=f"{args.dataset}_{trial}")
+        logger.text(json.dumps(cfg.to_legacy(), default=str))
+        logger.record("config", **cfg.to_dict())
+        # moud/you pass config lr to Adam (mfm_moud.py:466); mosi/mmmo
+        # use the torch default (mfm_mosi.py:403)
+        lr = cfg.lr if info["task"] == "classification" else args.lr
+        dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
+                         seed=args.seed + trial)
+        logger.close()
+        trial += 1
+        if args.mode != "search" or (args.trials and trial >= args.trials):
+            break
+    return 0
+
+
+def run_mosi_acc(args):
+    import numpy as np
+
+    data = list(load_dataset("mosi", 20, args.data_root))
+    # binarize labels (mfm_mosi_acc.py:505-508)
+    for i in (1, 3, 5):
+        data[i] = (data[i] >= 0).astype(np.int64)
+    rng = random.Random(args.seed)
+    trial = 0
+    while True:
+        cfg = (best_acc_mosi_config() if args.mode == "best"
+               else sample_search_config("mosi", rng))
+        if args.epochs:
+            cfg = cfg.replace(num_epochs=args.epochs)
+        logger = RunLogger(args.out, run_id=f"mosi_acc_{trial}")
+        logger.record("config", **cfg.to_dict())
+        trainers.train_mfm_acc(*data, cfg, logger=logger,
+                               seed=args.seed + trial)
+        logger.close()
+        trial += 1
+        if args.mode != "search" or (args.trials and trial >= args.trials):
+            break
+    return 0
+
+
+def run_test_mosi(args):
+    """Frozen-checkpoint evaluation (``test_mosi.py:484-525``)."""
+    import jax
+    import numpy as np
+
+    from factorized_tpu.models import get_model
+    from factorized_tpu.utils.checkpoint import restore_checkpoint
+    from factorized_tpu.utils.metrics import (
+        score_classification,
+        score_regression,
+    )
+
+    data = load_dataset("mosi", 20, args.data_root)
+    _, _, _, _, X_test, y_test = data
+    with open(f"{args.checkpoint}/meta.json") as f:
+        meta = json.load(f)
+    cfg = MFMConfig(**{k: v for k, v in meta["config"].items()
+                       if k in MFMConfig.__dataclass_fields__})
+    init, apply_fn = get_model(
+        cfg.model_type if cfg.model_type in ("mfm", "kl", "kl_ef") else "mfm"
+    )
+    template = init(jax.random.PRNGKey(0), cfg)
+    state, _ = restore_checkpoint(args.checkpoint,
+                                  target={"params": template})
+    Xte = np.ascontiguousarray(X_test.swapaxes(0, 1), dtype=np.float32)
+    decoded, _, _ = apply_fn(state["params"], Xte, cfg,
+                             key=jax.random.PRNGKey(0), train=False)
+    y_hat = np.asarray(decoded[3])
+    if cfg.task == "regression":
+        score_regression(y_hat[:, 0], y_test)
+    else:
+        score_classification(y_hat, y_test)
+    return 0
+
+
+def run_test_attention(args):
+    data = load_dataset("mosi", 20, args.data_root)
+    cfg = MFMConfig(input_dims=[300, 5, 20],
+                    batchsize=args.batchsize or 128,
+                    num_epochs=args.epochs or 100)
+    logger = RunLogger(args.out, run_id="self_attention")
+    trainers.train_predictor(*data, "self_attention", cfg,
+                             h=args.hidden, drop=0.5, lr=args.lr,
+                             logger=logger, seed=args.seed)
+    logger.close()
+    return 0
+
+
+def run_check(args):
+    from factorized_tpu.check import check_dir
+
+    check_dir(args.dir, condition=args.condition)
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="factorized_tpu",
+        description="TPU-native factorized multimodal learning (MFM)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default=None,
+                        help="JSON config (legacy schema accepted)")
+        sp.add_argument("--type", default="mfm",
+                        help="mfm|kl|kl_ef|m_a..m_d|s2s|bm")
+        sp.add_argument("--mode", default="single",
+                        choices=["single", "best", "search"])
+        sp.add_argument("--trials", type=int, default=1,
+                        help="search trials (0 = run forever)")
+        sp.add_argument("--missing", type=int, default=0)
+        sp.add_argument("--zeros", type=int, default=0)
+        sp.add_argument("--epochs", type=int, default=None)
+        sp.add_argument("--batchsize", type=int, default=None)
+        sp.add_argument("--lr", type=float, default=None)
+        sp.add_argument("--seed", type=int, default=123)
+        sp.add_argument("--data-root", default=None)
+        sp.add_argument("--out", default="runs",
+                        help="JSONL metrics directory")
+
+    for name in DATASETS:
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.set_defaults(func=run_dataset, dataset=name)
+
+    sp = sub.add_parser("mosi_acc")
+    common(sp)
+    sp.set_defaults(func=run_mosi_acc)
+
+    sp = sub.add_parser("test_mosi")
+    common(sp)
+    sp.add_argument("--checkpoint", required=True)
+    sp.set_defaults(func=run_test_mosi)
+
+    sp = sub.add_parser("test_attention")
+    common(sp)
+    sp.add_argument("--hidden", type=int, default=128)
+    sp.set_defaults(func=run_test_attention)
+
+    sp = sub.add_parser("check")
+    sp.add_argument("--dir", default="runs")
+    sp.add_argument("--condition", default=None, choices=["l", "a", "v"])
+    sp.set_defaults(func=run_check)
+
+    return p
+
+
+def main(argv=None):
+    from factorized_tpu.utils.compilation_cache import enable
+
+    enable()
+    args = build_parser().parse_args(argv)
+    if getattr(args, "lr", None) is None and hasattr(args, "lr"):
+        args.lr = None
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

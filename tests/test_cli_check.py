@@ -1,0 +1,151 @@
+"""CLI dispatch and the check aggregator (legacy text + JSONL)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from factorized_tpu.check import check_dir, parse_jsonl, parse_text_log
+
+
+REFERENCE_LOG = """\
+[{'input_dims': [300, 5, 20]}]
+0 1.08 1.03 saving model
+1 1.07 1.02
+scoring y_hat
+mae:  0.993
+corr:  0.62
+mult_acc:  0.34
+mult f_score:  0.49
+Confusion Matrix :
+[[354   0]
+ [332   0]]
+Classification Report :
+              precision    recall  f1-score   support
+
+       False    0.51603   1.00000   0.68077       354
+        True    0.00000   0.00000   0.00000       332
+
+    accuracy                        0.51603       686
+   macro avg    0.25802   0.50000   0.34038       686
+weighted avg    0.26629   0.51603   0.35130       686
+Accuracy  0.77
+mae:  1.05
+corr:  0.44
+mult_acc:  0.31
+Accuracy  0.71
+"""
+
+MISSING_LOG = """\
+all present 0.11 0.22 0.33
+l missing 0.5 0.6 0.7
+a missing 0.4 0.5 0.6
+v missing 0.3 0.4 0.5
+scoring y_hat_nol
+mae:  1.11
+Accuracy  0.70
+scoring y_hat_noa
+mae:  1.22
+Accuracy  0.65
+"""
+
+
+class TestCheckText:
+    def test_best_values_per_file(self, tmp_path):
+        (tmp_path / "run1.txt").write_text(REFERENCE_LOG)
+        summary = check_dir(str(tmp_path), out=lambda *a: None)
+        best = summary["run1.txt"]
+        assert best["mae"] == 0.993      # min over the file
+        assert best["acc"] == 0.77       # max
+        assert best["corr"] == 0.62
+        assert best["fscore"] == pytest.approx(0.35130)
+
+    def test_missing_condition_filter(self, tmp_path):
+        p = tmp_path / "m.txt"
+        p.write_text(MISSING_LOG)
+        m_l, _ = parse_text_log(str(p), condition="l")
+        assert m_l["mae"] == [1.11]
+        m_a, _ = parse_text_log(str(p), condition="a")
+        assert m_a["mae"] == [1.22]
+
+    def test_recon_min_aggregation(self, tmp_path):
+        (tmp_path / "a.txt").write_text(MISSING_LOG)
+        (tmp_path / "b.txt").write_text(
+            MISSING_LOG.replace("0.5 0.6 0.7", "0.1 0.9 0.2")
+        )
+        summary = check_dir(str(tmp_path), out=lambda *a: None)
+        np.testing.assert_allclose(
+            summary["_recon_min"]["l missing"], [0.1, 0.6, 0.2]
+        )
+
+
+class TestCheckJsonl:
+    def test_parse_final_records(self, tmp_path):
+        p = tmp_path / "r.jsonl"
+        recs = [
+            {"kind": "epoch", "epoch": 0, "train_loss": 1.0},
+            {"kind": "final", "mae": 0.95, "corr": 0.5,
+             "binary_accuracy": 0.74, "mult_f_score": 0.4},
+            {"kind": "final",
+             "y_hat": {"mae": 0.9, "binary_accuracy": 0.76}},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in recs))
+        m = parse_jsonl(str(p))
+        assert m["mae"] == [0.95, 0.9]
+        assert m["acc"] == [0.74, 0.76]
+        summary = check_dir(str(tmp_path), out=lambda *a: None)
+        assert summary["r.jsonl"]["mae"] == 0.9
+        assert summary["r.jsonl"]["acc"] == 0.76
+
+
+class TestCLI:
+    def test_cli_moud_single(self, tmp_path, capsys):
+        from factorized_tpu.cli import main
+
+        cfg = {
+            "seqlength": 4, "h_dims": [8, 8, 8], "memsize": 8,
+            "zy_size": 8, "zl_size": 8, "za_size": 8, "zv_size": 8,
+            "fy_size": 8, "fl_size": 8, "fa_size": 8, "fv_size": 8,
+            "att1_shape": 8, "att2_shape": 8, "gamma1_shape": 8,
+            "gamma2_shape": 8, "out_shape": 8,
+            "batchsize": 32, "num_epochs": 1,
+        }
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(json.dumps(cfg))
+        rc = main([
+            "moud", "--config", str(cfg_path), "--mode", "single",
+            "--type", "kl_ef", "--out", str(tmp_path / "runs"),
+        ])
+        assert rc == 0
+        outp = capsys.readouterr().out
+        assert "Accuracy" in outp
+        runs = os.listdir(tmp_path / "runs")
+        assert any(f.endswith(".jsonl") for f in runs)
+        # aggregator consumes what the CLI wrote
+        summary = check_dir(str(tmp_path / "runs"), out=lambda *a: None)
+        assert any("acc" in v for v in summary.values())
+
+    def test_cli_search_sampling_distinct(self, tmp_path):
+        from factorized_tpu.cli import main
+
+        cfg = {"seqlength": 4, "num_epochs": 1, "batchsize": 32}
+        cfg_path = tmp_path / "t.json"
+        cfg_path.write_text(json.dumps(cfg))
+        rc = main([
+            "mosi", "--mode", "search", "--trials", "2", "--type", "m_d",
+            "--out", str(tmp_path / "runs"), "--epochs", "1",
+        ])
+        assert rc == 0
+        runs = sorted(os.listdir(tmp_path / "runs"))
+        assert len(runs) == 2
+        # two sampled configs should differ
+        cfgs = []
+        for r in runs:
+            with open(tmp_path / "runs" / r) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["kind"] == "config":
+                        cfgs.append({k: rec[k] for k in
+                                     ("h_dims", "memsize", "zl_size")})
+        assert cfgs[0] != cfgs[1]
