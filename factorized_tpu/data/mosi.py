@@ -75,9 +75,25 @@ def load_transcripts(truth, transcript_dir, word2ix):
                     })
 
 
+def _assign_word_averages(truth_vid, feats, rate, field):
+    """Batch all of a video's word windows into one native
+    segment_average call (factorized_tpu.native; C++ hot loop replacing
+    the reference's per-word python loop)."""
+    from factorized_tpu import native
+
+    words = [w for seg in truth_vid.values() for w in seg["data"]]
+    starts = np.array([int(w["start_time_clip"] * rate) for w in words],
+                      np.int64)
+    ends = np.array([int(w["end_time_clip"] * rate) for w in words],
+                    np.int64)
+    avgs = native.segment_average(feats.astype(np.float32), starts, ends)
+    for w, a in zip(words, avgs):
+        w[field] = a
+
+
 def load_facet(truth, facet_dir, fps=30):
-    """Average FACET rows over each word's frame window (vectorized
-    per video instead of the reference's per-word python loop)."""
+    """Average FACET rows over each word's frame window (native C++
+    batch kernel instead of the reference's per-word python loop)."""
     for vid in truth:
         path = os.path.join(facet_dir, f"{vid}.FACET_out.csv")
         with open(path, newline="") as f:
@@ -85,17 +101,7 @@ def load_facet(truth, facet_dir, fps=30):
                      if l]
         feats = np.array([[float(x) for x in l.split(",")] for l in lines],
                          dtype=np.float64)[:, 5:]
-        cum = np.concatenate([np.zeros((1, feats.shape[1])),
-                              np.cumsum(feats, axis=0)])
-        for seg in truth[vid]:
-            for w in truth[vid][seg]["data"]:
-                s = int(w["start_time_clip"] * fps)
-                e = int(w["end_time_clip"] * fps)
-                s, e = min(s, len(feats)), min(e, len(feats))
-                if e <= s:
-                    w["facet"] = np.zeros(feats.shape[1])
-                else:
-                    w["facet"] = (cum[e] - cum[s]) / (e - s)
+        _assign_word_averages(truth[vid], feats, fps, "facet")
 
 
 def load_covarep(truth, covarep_dir, hz=100):
@@ -103,21 +109,8 @@ def load_covarep(truth, covarep_dir, hz=100):
 
     for vid in truth:
         fts = sio.loadmat(os.path.join(covarep_dir, f"{vid}.mat"))["features"]
-        fts = np.asarray(fts, dtype=np.float64)
-        cum = np.concatenate([np.zeros((1, fts.shape[1])),
-                              np.cumsum(fts, axis=0)])
-        for seg in truth[vid]:
-            for w in truth[vid][seg]["data"]:
-                s = int(w["start_time_clip"] * hz)
-                e = int(w["end_time_clip"] * hz)
-                s, e = min(s, len(fts)), min(e, len(fts))
-                if e <= s:
-                    avg = np.zeros(fts.shape[1])
-                else:
-                    avg = (cum[e] - cum[s]) / (e - s)
-                avg[np.isnan(avg)] = 0
-                avg[np.isneginf(avg)] = 0
-                w["covarep"] = avg
+        _assign_word_averages(truth[vid], np.asarray(fts, np.float64), hz,
+                              "covarep")
 
 
 def split_videos(truth):
