@@ -32,6 +32,20 @@ import jax.numpy as jnp
 
 from factorized_tpu.ops.lstm import lstm_step
 
+# Pallas kernel dispatch: None = auto (TPU backend + fits VMEM budget),
+# True = force (interpret mode off-TPU, for tests), False = never.
+USE_PALLAS = None
+
+
+def _pallas_ok(fits: bool) -> bool:
+    if USE_PALLAS is False:
+        return False
+    if USE_PALLAS is True:
+        return True
+    import jax as _jax
+
+    return fits and _jax.default_backend() == "tpu"
+
 
 def gate_major_blockdiag(mats: Sequence[jnp.ndarray], h_dims: Sequence[int]):
     """Per-cell (d_i, 4*h_i) weights -> (sum_d, 4*sum_h) block-diagonal
@@ -101,6 +115,12 @@ def fused_lstm_scan(cells: Sequence[dict], xs: Sequence[jnp.ndarray]):
     )
     wh_bd = gate_major_blockdiag([c["wh"] for c in cells], h_dims)
 
+    from factorized_tpu.ops import pallas_lstm
+
+    if _pallas_ok(pallas_lstm.multi_lstm_fits(t, n, h_tot)):
+        h_last = pallas_lstm.multi_lstm(xp, wh_bd)
+        return split_heads(h_last, h_dims)
+
     def step(carry, xp_t):
         h, c = carry
         h, c = lstm_step(c, xp_t + h @ wh_bd)
@@ -138,12 +158,18 @@ def fused_decoder_scan(dec_params: Sequence[dict], hTs: Sequence[jnp.ndarray],
         [c["wx"] + c["wh"] for c in cells], h_dims
     )
 
-    def step(carry, _):
-        h, c = carry
-        h, c = lstm_step(c, h @ wsum_bd + b_cat)
-        return (h, c), h
+    from factorized_tpu.ops import pallas_lstm
 
-    if t > 1:
+    if t > 1 and _pallas_ok(pallas_lstm.decoder_fits(t, n, h_tot)):
+        all_h = pallas_lstm.decoder_lstm(
+            h0, c0, wsum_bd, b_cat.reshape(1, -1), t
+        )
+    elif t > 1:
+        def step(carry, _):
+            h, c = carry
+            h, c = lstm_step(c, h @ wsum_bd + b_cat)
+            return (h, c), h
+
         _, rest = jax.lax.scan(step, (h0, c0), None, length=t - 1)
         all_h = jnp.concatenate([h0[None], rest], axis=0)  # (t, n, h_tot)
     else:
@@ -215,6 +241,54 @@ def fused_mfm_encode(enc_cells, mfn_params, x_l, x_a, x_v, *, mem_dim,
         [hoist_xproj(c, x) for c, x in zip(cells, xs)], h_dims
     )
     wh_bd = gate_major_blockdiag([c["wh"] for c in cells], h_dims)
+
+    from factorized_tpu.ops import pallas_mfn
+
+    att_in = 2 * sum(h_dims[3:])
+    widths = [
+        att_in * mfn_params["att1"]["fc1"]["w"].shape[1],
+        att_in * mfn_params["att2"]["fc1"]["w"].shape[1],
+        (att_in + mem_dim) * (mfn_params["gamma1"]["fc1"]["w"].shape[1]
+                              + mfn_params["gamma2"]["fc1"]["w"].shape[1]),
+    ]
+    if _pallas_ok(pallas_mfn.encode_fits(t, n, h_tot, mem_dim, att_in,
+                                         widths)):
+        def b2(p):
+            return p["b"].reshape(1, -1)
+
+        weights = {
+            "wh": wh_bd,
+            "a1w1": mfn_params["att1"]["fc1"]["w"],
+            "a1b1": b2(mfn_params["att1"]["fc1"]),
+            "a1w2": mfn_params["att1"]["fc2"]["w"],
+            "a1b2": b2(mfn_params["att1"]["fc2"]),
+            "a2w1": mfn_params["att2"]["fc1"]["w"],
+            "a2b1": b2(mfn_params["att2"]["fc1"]),
+            "a2w2": mfn_params["att2"]["fc2"]["w"],
+            "a2b2": b2(mfn_params["att2"]["fc2"]),
+            "gw1": jnp.concatenate([mfn_params["gamma1"]["fc1"]["w"],
+                                    mfn_params["gamma2"]["fc1"]["w"]],
+                                   axis=1),
+            "gb1": jnp.concatenate([b2(mfn_params["gamma1"]["fc1"]),
+                                    b2(mfn_params["gamma2"]["fc1"])],
+                                   axis=1),
+            "g1w2": mfn_params["gamma1"]["fc2"]["w"],
+            "g1b2": b2(mfn_params["gamma1"]["fc2"]),
+            "g2w2": mfn_params["gamma2"]["fc2"]["w"],
+            "g2b2": b2(mfn_params["gamma2"]["fc2"]),
+        }
+        s3 = weights["g1w2"].shape[0]
+        sizes = (weights["a1w1"].shape[1], weights["a2w1"].shape[1],
+                 s3, weights["gw1"].shape[1] - s3)
+        if train and key is not None:
+            masks = pallas_mfn.make_dropout_masks(key, t, n, sizes, drops)
+        else:
+            masks = jnp.zeros((1, 1, 1), jnp.float32)
+        h_last, mem = pallas_mfn.mfm_encode_pallas(
+            xp, masks, weights, z_tot, train
+        )
+        enc_hs = split_heads(h_last[:, :z_tot], h_dims[:3])
+        return enc_hs, jnp.concatenate([h_last[:, z_tot:], mem], axis=1)
 
     if train:
         ks = jax.random.split(key, t * 4)
