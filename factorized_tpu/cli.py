@@ -124,8 +124,14 @@ def run_dataset(args):
         # moud/you pass config lr to Adam (mfm_moud.py:466); mosi/mmmo
         # use the torch default (mfm_mosi.py:403)
         lr = cfg.lr if info["task"] == "classification" else args.lr
-        dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
-                         seed=args.seed + trial)
+        res = dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
+                               seed=args.seed + trial)
+        if args.save_ckpt and isinstance(res.get("params"), dict):
+            from factorized_tpu.utils.checkpoint import save_checkpoint
+
+            path = f"{args.out}/ckpt_{args.dataset}_{trial}"
+            save_checkpoint(path, res["params"], config=cfg.to_dict())
+            logger.text(f"checkpoint saved to {path}")
         logger.close()
         trial += 1
         if args.mode != "search" or (args.trials and trial >= args.trials):
@@ -159,12 +165,9 @@ def run_mosi_acc(args):
 
 
 def run_test_mosi(args):
-    """Frozen-checkpoint evaluation (``test_mosi.py:484-525``)."""
-    import jax
-    import numpy as np
-
-    from factorized_tpu.models import get_model
-    from factorized_tpu.utils.checkpoint import restore_checkpoint
+    """Frozen-checkpoint evaluation + latency probe
+    (``test_mosi.py:484-525`` and the timing probe at 335-342)."""
+    from factorized_tpu.serve import Predictor
     from factorized_tpu.utils.metrics import (
         score_classification,
         score_regression,
@@ -172,24 +175,54 @@ def run_test_mosi(args):
 
     data = load_dataset("mosi", 20, args.data_root)
     _, _, _, _, X_test, y_test = data
-    with open(f"{args.checkpoint}/meta.json") as f:
-        meta = json.load(f)
-    cfg = MFMConfig(**{k: v for k, v in meta["config"].items()
-                       if k in MFMConfig.__dataclass_fields__})
-    init, apply_fn = get_model(
-        cfg.model_type if cfg.model_type in ("mfm", "kl", "kl_ef") else "mfm"
-    )
-    template = init(jax.random.PRNGKey(0), cfg)
-    state, _ = restore_checkpoint(args.checkpoint,
-                                  target={"params": template})
-    Xte = np.ascontiguousarray(X_test.swapaxes(0, 1), dtype=np.float32)
-    decoded, _, _ = apply_fn(state["params"], Xte, cfg,
-                             key=jax.random.PRNGKey(0), train=False)
-    y_hat = np.asarray(decoded[3])
-    if cfg.task == "regression":
-        score_regression(y_hat[:, 0], y_test)
+    predictor = Predictor.from_checkpoint(args.checkpoint)
+    y_hat = predictor.predict(X_test)
+    if predictor.cfg.task == "regression":
+        score_regression(y_hat, y_test)
     else:
         score_classification(y_hat, y_test)
+    probe = predictor.probe(X_test)
+    print("inference probe:", json.dumps(probe))
+    return 0
+
+
+def run_predictor(args):
+    """EFLSTM / standalone-MFN / SelfAttention baseline trainers
+    (``test_mosi.py`` searches, ``test_attention.py``)."""
+    data = load_dataset(args.dataset, 20, args.data_root)
+    info = DATASETS[args.dataset]
+    rng = random.Random(args.seed)
+    trial = 0
+    while True:
+        cfg = (sample_search_config(args.dataset, rng)
+               if args.mode == "search" else best_acc_mosi_config())
+        cfg = cfg.replace(input_dims=info["input_dims"],
+                          output_dim=info["output_dim"], task=info["task"])
+        if args.epochs:
+            cfg = cfg.replace(num_epochs=args.epochs)
+        if args.batchsize:
+            cfg = cfg.replace(batchsize=args.batchsize)
+        logger = RunLogger(args.out, run_id=f"{args.kind}_{trial}")
+        logger.record("config", kind=args.kind, **cfg.to_dict())
+        trainers.train_predictor(
+            *data, args.kind, cfg, h=args.hidden, drop=args.drop,
+            lr=args.lr or 0.01, optimizer=args.optimizer, logger=logger,
+            seed=args.seed + trial,
+            binary_threshold=info["threshold"] or 0.0,
+            threshold_mode=info["mode"],
+        )
+        logger.close()
+        trial += 1
+        if args.mode != "search" or (args.trials and trial >= args.trials):
+            break
+    return 0
+
+
+def run_serve(args):
+    from factorized_tpu.serve import Predictor, serve_http
+
+    predictor = Predictor.from_checkpoint(args.checkpoint)
+    serve_http(predictor, args.host, args.port)
     return 0
 
 
@@ -238,6 +271,8 @@ def build_parser():
         sp.add_argument("--data-root", default=None)
         sp.add_argument("--out", default="runs",
                         help="JSONL metrics directory")
+        sp.add_argument("--save-ckpt", action="store_true",
+                        help="save the best-params checkpoint under --out")
 
     for name in DATASETS:
         sp = sub.add_parser(name)
@@ -257,6 +292,23 @@ def build_parser():
     common(sp)
     sp.add_argument("--hidden", type=int, default=128)
     sp.set_defaults(func=run_test_attention)
+
+    sp = sub.add_parser("predictor",
+                        help="EFLSTM / MFN / SelfAttention baselines")
+    common(sp)
+    sp.add_argument("--kind", default="mfn",
+                    choices=["eflstm", "mfn", "self_attention"])
+    sp.add_argument("--dataset", default="mosi", choices=list(DATASETS))
+    sp.add_argument("--hidden", type=int, default=128)
+    sp.add_argument("--drop", type=float, default=0.5)
+    sp.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    sp.set_defaults(func=run_predictor)
+
+    sp = sub.add_parser("serve", help="JSON-over-HTTP inference endpoint")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8787)
+    sp.set_defaults(func=run_serve)
 
     sp = sub.add_parser("check")
     sp.add_argument("--dir", default="runs")

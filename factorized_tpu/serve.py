@@ -1,0 +1,139 @@
+"""Inference/serving path.
+
+The reference's "serving" story is ``test_mosi.py``: load a released
+checkpoint, run one full-test-set forward, print metrics, plus an ad-hoc
+latency probe (``test_mosi.py:335-342``). This module is the production
+equivalent:
+
+- :class:`Predictor` — loads a checkpoint (or takes params), jits the
+  forward once, exposes numpy-in/numpy-out ``predict`` with automatic
+  batch padding (static shapes for XLA), and a latency ``probe``.
+- :func:`serve_http` — a minimal JSON-over-HTTP endpoint
+  (stdlib ``http.server``) for online scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from factorized_tpu.config import MFMConfig
+from factorized_tpu.models import get_model
+
+
+class Predictor:
+    def __init__(self, cfg: MFMConfig, params, model_type: Optional[str] = None,
+                 batch_size: int = 256):
+        self.cfg = cfg
+        self.params = params
+        self.batch_size = batch_size
+        name = model_type or cfg.model_type
+        if name not in ("mfm", "kl", "kl_ef", "missing"):
+            name = "mfm"
+        _, apply_fn = get_model(name)
+        self._name = name
+
+        @jax.jit
+        def fwd(params, x):
+            out = apply_fn(params, x, cfg, key=jax.random.PRNGKey(0),
+                           train=False)
+            decoded = out[0]
+            y_hat = decoded[3]
+            return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
+                    else y_hat)
+
+        self._fwd = fwd
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw):
+        from factorized_tpu.utils.checkpoint import restore_checkpoint
+
+        with open(f"{path}/meta.json") as f:
+            meta = json.load(f)
+        cfg = MFMConfig(**{k: v for k, v in meta["config"].items()
+                           if k in MFMConfig.__dataclass_fields__})
+        init, _ = get_model(cfg.model_type if cfg.model_type in
+                            ("mfm", "kl", "kl_ef", "missing") else "mfm")
+        template = init(jax.random.PRNGKey(0), cfg)
+        state, _ = restore_checkpoint(path, target={"params": template})
+        return cls(cfg, state["params"], **kw)
+
+    def predict(self, X):
+        """X batch-major (n, t, d_total) numpy -> predictions (n,) or
+        logits (n, C). Pads the final partial batch to keep shapes
+        static (at most 2 compiled batch shapes ever)."""
+        X = np.asarray(X, np.float32)
+        n = X.shape[0]
+        outs = []
+        B = self.batch_size
+        for s in range(0, n, B):
+            chunk = X[s:s + B]
+            pad = B - chunk.shape[0]
+            if pad and s > 0:  # only pad non-first partial batches
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            xt = jnp.asarray(chunk.swapaxes(0, 1))
+            y = np.asarray(self._fwd(self.params, xt))
+            outs.append(y[: B - pad] if pad and s > 0 else y)
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def probe(self, X, reps: int = 10):
+        """Latency probe (the reference's ``test_mosi.py:335-342``
+        upgraded): median end-to-end seconds for one full forward."""
+        times = []
+        self.predict(X)  # warmup/compile
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            self.predict(X)
+            times.append(time.perf_counter() - t0)
+        return {
+            "n": int(np.asarray(X).shape[0]),
+            "median_s": float(np.median(times)),
+            "p99_s": float(np.quantile(times, 0.99)),
+            "throughput_per_s": float(np.asarray(X).shape[0]
+                                      / np.median(times)),
+        }
+
+
+def serve_http(predictor: Predictor, host: str = "127.0.0.1",
+               port: int = 8787):
+    """Blocking JSON HTTP endpoint: POST /predict {"x": [[...t x d...]]}
+    -> {"y": [...]}."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/predict":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length))
+                x = np.asarray(payload["x"], np.float32)
+                if x.ndim == 2:
+                    x = x[None]
+                y = predictor.predict(x)
+                body = json.dumps({"y": np.asarray(y).tolist()}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # noqa: BLE001 - report to client
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer((host, port), Handler)
+    print(f"serving on http://{host}:{port}/predict", flush=True)
+    server.serve_forever()

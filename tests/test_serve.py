@@ -1,0 +1,91 @@
+"""Serving path: checkpoint round-trip through the CLI, Predictor,
+latency probe, and the HTTP endpoint."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from factorized_tpu.serve import Predictor, serve_http
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    """Train a tiny model via the CLI with --save-ckpt."""
+    from factorized_tpu.cli import main
+
+    out = tmp_path_factory.mktemp("runs")
+    cfg = {
+        "seqlength": 4, "h_dims": [8, 8, 8], "memsize": 8,
+        "zy_size": 8, "zl_size": 8, "za_size": 8, "zv_size": 8,
+        "fy_size": 8, "fl_size": 8, "fa_size": 8, "fv_size": 8,
+        "att1_shape": 8, "att2_shape": 8, "gamma1_shape": 8,
+        "gamma2_shape": 8, "out_shape": 8,
+        "batchsize": 32, "num_epochs": 1,
+    }
+    cfg_path = out / "tiny.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main([
+        "mosi", "--config", str(cfg_path), "--mode", "single",
+        "--type", "mfm", "--out", str(out), "--save-ckpt",
+    ])
+    assert rc == 0
+    return str(out / "ckpt_mosi_0")
+
+
+class TestPredictor:
+    def test_roundtrip_and_predict(self, trained_ckpt):
+        p = Predictor.from_checkpoint(trained_ckpt)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(10, p.cfg.seqlength, p.cfg.d_total))
+        y = p.predict(X)
+        assert y.shape == (10,)
+        assert np.isfinite(y).all()
+
+    def test_batch_padding_consistency(self, trained_ckpt):
+        p = Predictor.from_checkpoint(trained_ckpt)
+        p.batch_size = 8
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(19, p.cfg.seqlength, p.cfg.d_total)).astype(
+            np.float32)
+        y_batched = p.predict(X)
+        p2 = Predictor.from_checkpoint(trained_ckpt)
+        p2.batch_size = 64
+        y_single = p2.predict(X)
+        np.testing.assert_allclose(y_batched, y_single, rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_probe(self, trained_ckpt):
+        p = Predictor.from_checkpoint(trained_ckpt)
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(16, p.cfg.seqlength, p.cfg.d_total))
+        stats = p.probe(X, reps=3)
+        assert stats["throughput_per_s"] > 0
+        assert stats["median_s"] > 0
+
+    def test_http_endpoint(self, trained_ckpt):
+        p = Predictor.from_checkpoint(trained_ckpt)
+        port = 18791
+        th = threading.Thread(
+            target=serve_http, args=(p, "127.0.0.1", port), daemon=True)
+        th.start()
+        import time
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, p.cfg.seqlength, p.cfg.d_total)).tolist()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"x": x}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        for attempt in range(20):
+            try:
+                with urllib.request.urlopen(req, timeout=5) as resp:
+                    body = json.loads(resp.read())
+                break
+            except (ConnectionError, urllib.error.URLError):
+                time.sleep(0.25)
+        assert len(body["y"]) == 2
+        assert all(np.isfinite(v) for v in body["y"])
