@@ -63,29 +63,11 @@ def bench_jax(cfg):
     x = jnp.asarray(rng.normal(size=(T, BATCH, cfg.d_total)), jnp.float32)
     y = jnp.asarray(rng.normal(size=(BATCH,)), jnp.float32)
 
-    step = program.step
     lr = jnp.asarray(1e-3, jnp.float32)
-    # warmup/compile; NOTE float() materialization — block_until_ready
-    # under-reports through the axon tunnel
-    t0 = time.perf_counter()
-    params, opt_state, tracked = step(params, opt_state, x, y,
-                                      jax.random.PRNGKey(0), lr)
-    float(tracked)
-    log(f"jax compile+first step: {time.perf_counter() - t0:.2f}s "
-        f"on {jax.devices()[0].platform}")
-
-    t0 = time.perf_counter()
-    for i in range(STEPS_JAX):
-        params, opt_state, tracked = step(params, opt_state, x, y,
-                                          jax.random.fold_in(
-                                              jax.random.PRNGKey(1), i),
-                                          lr)
-    val = float(tracked)
-    dt = time.perf_counter() - t0
-    log(f"jax per-step dispatch mode: {STEPS_JAX} steps in {dt:.3f}s "
-        f"-> {STEPS_JAX / dt:.1f} steps/s (loss {val:.4f})")
-
+    log(f"device: {jax.devices()[0].platform}")
     # epoch mode — the production path: whole epoch as one XLA program
+    # (per-step dispatch mode omitted: its separate program costs ~4min
+    # of compile through the remote tunnel and is not the trained path)
     NB = 39  # MOSI: 1248 shuffled train samples / batch 32
     Xb = jnp.asarray(rng.normal(size=(NB, T, BATCH, cfg.d_total)),
                      jnp.float32)

@@ -55,12 +55,51 @@ FUSED = True
 # ---------------------------------------------------------------- helpers
 
 def _zf_all(params, zy, zl, za, zv, cfg, key, train):
+    """The four z->f MLPs as two block-diagonal GEMMs (their inputs are
+    independent, so fc1s/fc2s fuse; dropout keys/rates stay per-MLP on
+    slices — same math as four separate relu(fc2(drop(relu(fc1(z))))))."""
+    from factorized_tpu.ops.core import dropout
+
+    zf = params["zf"]
+    names = ("zy_to_fy", "zl_to_fl", "za_to_fa", "zv_to_fv")
+    rates = (cfg.zy_to_fy_dropout, cfg.zl_to_fl_dropout,
+             cfg.za_to_fa_dropout, cfg.zv_to_fv_dropout)
     k = subkeys(key, 4)
-    fy = zf_apply(params["zf"]["zy_to_fy"], zy, cfg.zy_to_fy_dropout, k[0], train)
-    fl = zf_apply(params["zf"]["zl_to_fl"], zl, cfg.zl_to_fl_dropout, k[1], train)
-    fa = zf_apply(params["zf"]["za_to_fa"], za, cfg.za_to_fa_dropout, k[2], train)
-    fv = zf_apply(params["zf"]["zv_to_fv"], zv, cfg.zv_to_fv_dropout, k[3], train)
-    return fy, fl, fa, fv
+    zs = (zy, zl, za, zv)
+    z_dims = [z.shape[1] for z in zs]
+    f_dims = [zf[n]["fc2"]["w"].shape[1] for n in names]
+
+    def blockdiag(mats, rows, cols):
+        out = jnp.zeros((sum(rows), sum(cols)), mats[0].dtype)
+        r = c = 0
+        for m, rr, cc in zip(mats, rows, cols):
+            out = jax.lax.dynamic_update_slice(out, m, (r, c))
+            r += rr
+            c += cc
+        return out
+
+    w1 = blockdiag([zf[n]["fc1"]["w"] for n in names], z_dims, f_dims)
+    b1 = jnp.concatenate([zf[n]["fc1"]["b"] for n in names])
+    w2 = blockdiag([zf[n]["fc2"]["w"] for n in names], f_dims, f_dims)
+    b2 = jnp.concatenate([zf[n]["fc2"]["b"] for n in names])
+
+    z_cat = jnp.concatenate(zs, axis=1)
+    h = jax.nn.relu(z_cat @ w1 + b1)
+    if train and any(r > 0.0 for r in rates):
+        parts = []
+        o = 0
+        for f, rate, kk in zip(f_dims, rates, k):
+            sl = h[:, o:o + f]
+            parts.append(dropout(kk, sl, rate, train) if rate > 0.0 else sl)
+            o += f
+        h = jnp.concatenate(parts, axis=1)
+    f_cat = jax.nn.relu(h @ w2 + b2)
+    outs = []
+    o = 0
+    for f in f_dims:
+        outs.append(f_cat[:, o:o + f])
+        o += f
+    return tuple(outs)
 
 
 def _decode(params, fy, fl, fa, fv, t, cfg, key, train):
@@ -100,13 +139,37 @@ def _encode_stage(params, x_l, x_a, x_v, cfg, key, train):
 
 
 def _mmd4(key, zl, za, zv, zy):
-    k = subkeys(key, 4)
-    return (
-        loss_mmd(k[0], zl)
-        + loss_mmd(k[1], za)
-        + loss_mmd(k[2], zv)
-        + loss_mmd(k[3], zy)
-    )
+    """Sum of four MMD terms (``mfm_model.py:536``) computed BATCHED:
+    latents padded to a common width and stacked, so the 12 tiny kernel
+    matmuls become 3 batched GEMMs. Zero-padding is exact (padded
+    coordinates contribute 0 to squared distances; the fresh Gaussian is
+    zeroed on padded dims) — only the RNG stream differs from drawing 4
+    separate samples, and MMD is a stochastic regularizer by design
+    (``mfm_model.py:26``)."""
+    zs = (zl, za, zv, zy)
+    dims = [z.shape[1] for z in zs]
+    dmax = max(dims)
+    n = zl.shape[0]
+
+    Z = jnp.stack([
+        jnp.pad(z, ((0, 0), (0, dmax - d))) for z, d in zip(zs, dims)
+    ])
+    mask = jnp.stack([
+        jnp.concatenate([jnp.ones(d), jnp.zeros(dmax - d)]) for d in dims
+    ])  # (4, dmax)
+    R = jax.random.normal(key, Z.shape, Z.dtype) * mask[:, None, :]
+
+    inv_d2 = jnp.asarray([1.0 / (d * d) for d in dims], Z.dtype)
+
+    def kmean(A, B):
+        a2 = jnp.sum(A * A, axis=2)[:, :, None]
+        b2 = jnp.sum(B * B, axis=2)[:, None, :]
+        sq = jnp.maximum(a2 + b2 - 2.0 * jnp.einsum("bnd,bmd->bnm", A, B),
+                         0.0)
+        return jnp.mean(jnp.exp(-sq * inv_d2[:, None, None]), axis=(1, 2))
+
+    per_latent = kmean(R, R) + kmean(Z, Z) - 2.0 * kmean(R, Z)
+    return jnp.sum(per_latent)
 
 
 # -------------------------------------------------------------------- MFM

@@ -1,0 +1,93 @@
+"""Multi-device data parallelism on the virtual 8-device CPU mesh
+(SURVEY.md §4.5 — the TPU-idiomatic equivalent of fake-backend
+distributed tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from factorized_tpu.config import MFMConfig
+from factorized_tpu.models import get_model
+from factorized_tpu.parallel import DataParallel, make_mesh
+from factorized_tpu.train import TrainProgram, make_optimizer
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+CFG = MFMConfig(
+    input_dims=[8, 4, 5], h_dims=[6, 5, 4], memsize=6,
+    zy_size=5, zl_size=6, za_size=4, zv_size=5,
+    fy_size=4, fl_size=5, fa_size=4, fv_size=3,
+    att1_shape=8, att2_shape=8, gamma1_shape=8, gamma2_shape=8,
+    seqlength=5, batchsize=16,
+)
+
+
+def _setup():
+    init, apply_fn = get_model("mfm")
+    params = init(jax.random.PRNGKey(0), CFG)
+    opt = make_optimizer("adam")
+    opt_state = opt.init(params)
+    program = TrainProgram(apply_fn, CFG, "joint", opt)
+    rng = np.random.default_rng(0)
+    Xb = rng.normal(size=(3, CFG.seqlength, CFG.batchsize,
+                          CFG.d_total)).astype(np.float32)
+    yb = rng.normal(size=(3, CFG.batchsize)).astype(np.float32)
+    return program, params, opt_state, Xb, yb
+
+
+class TestDataParallel:
+    def test_sharded_epoch_runs_and_matches_single(self):
+        program, params, opt_state, Xb, yb = _setup()
+        lr = jnp.asarray(1e-3, jnp.float32)
+        key = jax.random.PRNGKey(1)
+
+        # single-device result
+        p1, o1, acc1 = program.epoch(params, opt_state, jnp.asarray(Xb),
+                                     jnp.asarray(yb), key, lr)
+        acc1 = float(acc1)
+
+        # 8-way DP result
+        program2 = TrainProgram(get_model("mfm")[1], CFG, "joint",
+                                make_optimizer("adam"))
+        mesh = make_mesh(8)
+        dp = DataParallel(mesh)
+        init, _ = get_model("mfm")
+        params2 = dp.params(init(jax.random.PRNGKey(0), CFG))
+        opt_state2 = dp.params(make_optimizer("adam").init(params2))
+        Xs, ys = dp.epoch_batches(Xb, yb)
+        with mesh:
+            p2, o2, acc2 = program2.epoch(params2, opt_state2, Xs, ys,
+                                          key, lr)
+        acc2 = float(acc2)
+        # identical math modulo reduction order (MMD resampling uses the
+        # same key stream — shapes identical)
+        assert abs(acc1 - acc2) / max(abs(acc1), 1e-6) < 5e-3
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-5)
+
+    def test_full_set_eval_sharded_with_padding(self):
+        program, params, opt_state, _, _ = _setup()
+        mesh = make_mesh(8)
+        dp = DataParallel(mesh)
+        rng = np.random.default_rng(1)
+        # 19 is not divisible by 8 — exercises the pad path
+        Xv = rng.normal(size=(CFG.seqlength, 19, CFG.d_total)).astype(
+            np.float32)
+        yv = rng.normal(size=(19,)).astype(np.float32)
+        Xs, ys, n = dp.full_set(Xv, yv)
+        assert n == 19
+        params_r = dp.params(params)
+        with mesh:
+            loss = program.evaluate(params_r, Xs, ys,
+                                    jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
+    def test_mesh_shapes(self):
+        mesh = make_mesh(8)
+        assert mesh.shape["data"] == 8
+        mesh2 = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
