@@ -124,13 +124,24 @@ def run_dataset(args):
         # moud/you pass config lr to Adam (mfm_moud.py:466); mosi/mmmo
         # use the torch default (mfm_mosi.py:403)
         lr = cfg.lr if info["task"] == "classification" else args.lr
-        res = dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
-                               seed=args.seed + trial)
+        if args.resume and cfg.model_type in ("mfm", "kl") and not (
+                cfg.missing or cfg.zeros):
+            kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
+                      resume_from=args.resume)
+            if info["threshold"] is not None:
+                kw.update(binary_threshold=info["threshold"],
+                          threshold_mode=info["mode"])
+            res = trainers.train_mfm(*data, cfg, **kw)
+        else:
+            res = dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
+                                   seed=args.seed + trial)
         if args.save_ckpt and isinstance(res.get("params"), dict):
             from factorized_tpu.utils.checkpoint import save_checkpoint
 
             path = f"{args.out}/ckpt_{args.dataset}_{trial}"
-            save_checkpoint(path, res["params"], config=cfg.to_dict())
+            save_checkpoint(path, res["params"],
+                            opt_state=res.get("opt_state"),
+                            step=cfg.num_epochs, config=cfg.to_dict())
             logger.text(f"checkpoint saved to {path}")
         logger.close()
         trial += 1
@@ -273,6 +284,8 @@ def build_parser():
                         help="JSONL metrics directory")
         sp.add_argument("--save-ckpt", action="store_true",
                         help="save the best-params checkpoint under --out")
+        sp.add_argument("--resume", default=None,
+                        help="checkpoint dir to resume training from")
 
     for name in DATASETS:
         sp = sub.add_parser(name)

@@ -41,12 +41,18 @@ def synthetic_fs_mask(seed: int = 11):
 
 
 def _readout(seed: int = 13):
+    """Label readout weights SUPPORTED on the feature-selected channels
+    and the last-window of words — i.e. on information the model can
+    actually see after fs-mask selection and keep-last truncation — so
+    synthetic training exhibits real learning."""
     rng = np.random.default_rng(seed)
-    return (
-        rng.normal(size=(EMBED_DIM,)) / np.sqrt(EMBED_DIM),
-        rng.normal(size=(COVAREP_RAW,)) / np.sqrt(COVAREP_RAW),
-        rng.normal(size=(FACET_RAW,)) / np.sqrt(FACET_RAW),
-    )
+    cov_ix, fac_ix = synthetic_fs_mask()
+    w_t = rng.normal(size=(EMBED_DIM,)) / np.sqrt(EMBED_DIM)
+    w_a = np.zeros(COVAREP_RAW)
+    w_a[cov_ix] = rng.normal(size=len(cov_ix)) / np.sqrt(len(cov_ix))
+    w_v = np.zeros(FACET_RAW)
+    w_v[fac_ix] = rng.normal(size=len(fac_ix)) / np.sqrt(len(fac_ix))
+    return w_t, w_a, w_v
 
 
 def synthetic_segments(n_segments, seed, max_len=40, label_mode="mosi"):
@@ -63,13 +69,16 @@ def synthetic_segments(n_segments, seed, max_len=40, label_mode="mosi"):
                    ).astype(np.float32)
         facet = (0.6 * base + rng.normal(0, 1.0, size=(length, FACET_RAW))
                  ).astype(np.float32)
+        # signal from the LAST window (what survives keep-last
+        # truncation at the default seqlength)
+        win = 20
         signal = (
-            emb[text].mean(0) @ w_t
-            + covarep.mean(0) @ w_a
-            + facet.mean(0) @ w_v
+            emb[text[-win:]].mean(0) @ w_t
+            + covarep[-win:].mean(0) @ w_a
+            + facet[-win:].mean(0) @ w_v
         )
         if label_mode == "mosi":
-            label = float(np.clip(3.0 * signal + rng.normal(0, 0.5), -3, 3))
+            label = float(np.clip(4.0 * signal + rng.normal(0, 0.3), -3, 3))
         elif label_mode == "mmmo":
             label = float(np.clip(3.5 + 2.0 * signal + rng.normal(0, 0.4), 1, 7))
         else:  # integer classes

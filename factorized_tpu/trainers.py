@@ -134,9 +134,14 @@ def train_mfm(
     threshold_mode: str = "ge",
     include_remainder: bool = False,
     model_type: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ):
     """Joint single-stage training of MFM / MFM_KL (or any registry
-    model with the standard (decoded, reg, missing) return)."""
+    model with the standard (decoded, reg, missing) return).
+
+    ``resume_from``: a checkpoint directory saved with opt_state —
+    training continues from its recorded epoch (a capability the
+    reference lacks entirely; SURVEY.md §5.4)."""
     logger = logger or RunLogger()
     Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
         X_train, y_train, X_valid, y_valid, X_test, y_test, seed
@@ -155,6 +160,17 @@ def train_mfm(
     opt = make_optimizer(optimizer, lr, cfg.momentum)
     opt_state = opt.init(params)
 
+    start_epoch = 0
+    if resume_from:
+        from factorized_tpu.utils.checkpoint import restore_checkpoint
+
+        state, meta = restore_checkpoint(
+            resume_from, target={"params": params, "opt_state": opt_state}
+        )
+        params, opt_state = state["params"], state["opt_state"]
+        start_epoch = meta.get("step", 0)
+        logger.text(f"resumed from {resume_from} at epoch {start_epoch}")
+
     program = TrainProgram(apply_fn, cfg, "joint", opt)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize,
                                include_remainder)
@@ -164,7 +180,8 @@ def train_mfm(
     keeper = BestKeeper("min")
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-        cfg.num_epochs, scheduler, keeper, logger, key
+        max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
+        jax.random.fold_in(key, start_epoch)
     )
 
     best_params = keeper.best_params if keeper.best_params is not None else params
@@ -173,7 +190,8 @@ def train_mfm(
     logger.text("scoring y_hat")
     metrics = _score(logger, y_hat, yte_l, cfg, binary_threshold, threshold_mode)
     logger.record("final", **metrics)
-    return {"metrics": metrics, "params": best_params, "history": history,
+    return {"metrics": metrics, "params": best_params,
+            "opt_state": opt_state, "history": history,
             "best_valid": keeper.best}
 
 
