@@ -159,3 +159,44 @@ def check_dir(directory, condition=None, out=print):
             summary.setdefault("_recon_min", {})[tag] = np.min(
                 arr, axis=0).tolist()
     return summary
+
+
+def parse_text_log_multitrait(path):
+    """Multi-trait logs (the reference's POM/IEMOCAP modes,
+    ``check.py:128-164``): metric lines carry bracketed per-trait lists
+    like ``mae: [0.9, 1.1, ...]``. Returns per-metric arrays
+    (n_records, n_traits)."""
+    rows = {"mae": [], "corr": [], "mult_acc": []}
+    with open(path, errors="replace") as f:
+        for line in f:
+            for key in rows:
+                tag = f"{key}:"
+                if tag in line and "[" in line and "]" in line and (
+                        key != "mae" or "test" not in line):
+                    try:
+                        vals = [float(x) for x in
+                                line[line.index("[") + 1:
+                                     line.index("]")].split(",")]
+                        rows[key].append(vals)
+                    except ValueError:
+                        pass
+    return {k: np.asarray(v) for k, v in rows.items() if v}
+
+
+def best_multitrait(directory, out=print):
+    """Per-trait bests across a directory of multi-trait logs:
+    min mae / max corr / max mult_acc per trait (``check.py:150-159``)."""
+    agg = {}
+    for name in sorted(os.listdir(directory)):
+        if not (name.endswith(".txt") or name.endswith(".log")):
+            continue
+        rows = parse_text_log_multitrait(os.path.join(directory, name))
+        for k, arr in rows.items():
+            agg.setdefault(k, []).append(arr)
+    result = {}
+    for k, arrs in agg.items():
+        stacked = np.concatenate(arrs, axis=0)
+        fn = np.nanmin if k == "mae" else np.nanmax
+        result[k] = fn(stacked, axis=0).tolist()
+        out(f"{k}:", "&".join(str(round(x, 3)) for x in result[k]))
+    return result

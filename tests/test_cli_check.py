@@ -149,3 +149,22 @@ class TestCLI:
                         cfgs.append({k: rec[k] for k in
                                      ("h_dims", "memsize", "zl_size")})
         assert cfgs[0] != cfgs[1]
+
+
+class TestMultitrait:
+    def test_parse_and_best(self, tmp_path):
+        from factorized_tpu.check import best_multitrait
+
+        log = """config stuff
+mae: [1.2, 0.9, 1.5]
+corr: [0.3, 0.5, 0.2]
+mult_acc: [0.3, 0.2, 0.4]
+mae: [1.0, 1.1, 1.4]
+corr: [0.4, 0.4, 0.6]
+mult_acc: [0.2, 0.5, 0.1]
+"""
+        (tmp_path / "pom.txt").write_text(log)
+        res = best_multitrait(str(tmp_path), out=lambda *a: None)
+        assert res["mae"] == [1.0, 0.9, 1.4]
+        assert res["corr"] == [0.4, 0.5, 0.6]
+        assert res["mult_acc"] == [0.3, 0.5, 0.4]
