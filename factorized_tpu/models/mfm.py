@@ -43,7 +43,7 @@ from factorized_tpu.ops.fused import (
     fused_mfm_encode,
 )
 from factorized_tpu.ops.lstm import decoder_apply, encoder_apply, encoder_init
-from factorized_tpu.ops.losses import l2_loss, loss_kld, loss_mmd
+from factorized_tpu.ops.losses import l2_loss, loss_kld
 from factorized_tpu.models.common import mfn_drops
 
 # Use the block-diagonal fused scans (ops/fused.py) — same math as the

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from factorized_tpu.ops.core import dropout, mlp2_apply, mlp2_init
+from factorized_tpu.ops.core import mlp2_apply, mlp2_init
 from factorized_tpu.ops.lstm import lstm_cell_init, lstm_step
 
 

@@ -21,8 +21,7 @@ each minibatch consumes a distinct PRNG key, pre-split and scanned.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -184,7 +183,6 @@ def make_eval_fn(apply_fn, cfg, variant: str):
             return _disc(decoded[3], y, task)
 
     elif variant == "missing":
-        train_loss = make_loss_fn(apply_fn, cfg, "missing")
 
         def eval_fn(params, x, y, key):
             # reference evaluates the FULL composite loss in eval mode
