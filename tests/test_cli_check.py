@@ -168,3 +168,47 @@ mult_acc: [0.2, 0.5, 0.1]
         assert res["mae"] == [1.0, 0.9, 1.4]
         assert res["corr"] == [0.4, 0.5, 0.6]
         assert res["mult_acc"] == [0.3, 0.5, 0.4]
+
+
+class TestCLIVariants:
+    def _cfg_path(self, tmp_path):
+        cfg = {
+            "seqlength": 4, "h_dims": [8, 8, 8], "memsize": 8,
+            "zy_size": 8, "zl_size": 8, "za_size": 8, "zv_size": 8,
+            "fy_size": 8, "fl_size": 8, "fa_size": 8, "fv_size": 8,
+            "att1_shape": 8, "att2_shape": 8, "gamma1_shape": 8,
+            "gamma2_shape": 8, "out_shape": 8,
+            "batchsize": 64, "num_epochs": 1,
+        }
+        p = tmp_path / "tiny.json"
+        p.write_text(json.dumps(cfg))
+        return str(p)
+
+    @pytest.mark.parametrize("argset", [
+        ["mmmo", "--type", "kl_ef"],
+        ["you", "--type", "kl_ef"],
+        ["mosi", "--type", "mfm", "--missing", "1"],
+        ["mosi", "--type", "mfm", "--zeros", "1"],
+        ["mosi", "--type", "s2s", "--missing", "1"],
+        ["mosi", "--type", "bm", "--missing", "1"],
+        ["mosi", "--type", "m_b"],
+    ])
+    def test_cli_variant_dispatch(self, tmp_path, argset):
+        from factorized_tpu.cli import main
+
+        rc = main(argset + ["--config", self._cfg_path(tmp_path),
+                            "--mode", "single",
+                            "--out", str(tmp_path / "runs")])
+        assert rc == 0
+        assert any(f.endswith(".jsonl")
+                   for f in os.listdir(tmp_path / "runs"))
+
+    def test_best_mfn_configs(self):
+        from factorized_tpu.config import best_mfn_mosi_config
+
+        mae = best_mfn_mosi_config("mae")
+        assert mae.h_dims == [88, 48, 16] and mae.memsize == 128
+        acc = best_mfn_mosi_config("acc")
+        assert acc.h_dims == [64, 8, 80] and acc.memsize == 400
+        with pytest.raises(ValueError):
+            best_mfn_mosi_config("nope")
