@@ -124,7 +124,17 @@ def run_dataset(args):
         # moud/you pass config lr to Adam (mfm_moud.py:466); mosi/mmmo
         # use the torch default (mfm_mosi.py:403)
         lr = cfg.lr if info["task"] == "classification" else args.lr
-        if args.resume and cfg.model_type in ("mfm", "kl") and not (
+        if args.seeds > 1 and cfg.model_type in ("mfm", "kl", "kl_ef") \
+                and not (cfg.missing or cfg.zeros):
+            from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+
+            kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
+                      n_seeds=args.seeds)
+            if info["threshold"] is not None:
+                kw.update(binary_threshold=info["threshold"],
+                          threshold_mode=info["mode"])
+            res = train_mfm_multiseed(*data, cfg, **kw)
+        elif args.resume and cfg.model_type in ("mfm", "kl") and not (
                 cfg.missing or cfg.zeros):
             kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
                       resume_from=args.resume)
@@ -286,6 +296,8 @@ def build_parser():
                         help="save the best-params checkpoint under --out")
         sp.add_argument("--resume", default=None,
                         help="checkpoint dir to resume training from")
+        sp.add_argument("--seeds", type=int, default=1,
+                        help=">1: train K seeds simultaneously (vmapped)")
 
     for name in DATASETS:
         sp = sub.add_parser(name)

@@ -1,0 +1,187 @@
+"""Vmapped multi-seed training: K models, one chip, one program.
+
+The reference's production workload is an endless random search of
+small (~1M-param) models (``mfm_mosi.py:1302-1369``) trained one at a
+time — at batch 32 a single model leaves most of the MXU idle. This
+module trains K seeds of one configuration SIMULTANEOUSLY via
+``jax.vmap`` over the parameter axis: every matmul in the step gets a
+K-wide leading batch dimension, multiplying chip utilization for seed
+ensembles / random restarts (the per-dataset searches can sample K
+seeds per drawn config).
+
+Semantics per seed are identical to :func:`trainers.train_mfm`: same
+loss, Adam, per-seed ReduceLROnPlateau (lr is a (K,) vector argument),
+per-seed best-valid checkpointing, per-seed test scoring.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from factorized_tpu.models import get_model
+from factorized_tpu.models.registry import MODELS
+from factorized_tpu.train import (
+    make_batches,
+    make_eval_fn,
+    make_loss_fn,
+    make_optimizer,
+    shuffle_and_time_major,
+)
+from factorized_tpu.utils.logging import RunLogger
+from factorized_tpu.utils.metrics import (
+    score_classification,
+    score_regression,
+)
+from factorized_tpu.utils.scheduler import ReduceLROnPlateau
+
+
+class MultiSeedProgram:
+    """Compiled K-seed epoch/eval/predict programs."""
+
+    def __init__(self, apply_fn, cfg, optimizer, variant="joint"):
+        loss_fn = make_loss_fn(apply_fn, cfg, variant)
+        eval_fn = make_eval_fn(apply_fn, cfg, variant)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def seed_step(params, opt_state, x, y, key, lr):
+            (_, tracked), grads = grad_fn(params, x, y, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+            return params, opt_state, tracked
+
+        vstep = jax.vmap(seed_step, in_axes=(0, 0, None, None, 0, 0))
+
+        def epoch(params, opt_state, Xb, yb, keys, lrs):
+            nb = Xb.shape[0]
+            # distinct key per (batch, seed)
+            bkeys = jax.vmap(lambda k: jax.random.split(k, nb))(keys)
+
+            def body(carry, batch):
+                params, opt_state, acc = carry
+                x, y, ks = batch
+                params, opt_state, tracked = vstep(params, opt_state, x, y,
+                                                   ks, lrs)
+                return (params, opt_state, acc + tracked), None
+
+            K = lrs.shape[0]
+            (params, opt_state, acc), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.zeros((K,), jnp.float32)),
+                (Xb, yb, jnp.swapaxes(bkeys, 0, 1))
+            )
+            return params, opt_state, acc / nb
+
+        self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
+        self.evaluate = jax.jit(
+            jax.vmap(eval_fn, in_axes=(0, None, None, 0))
+        )
+
+    @staticmethod
+    def vinit(init, cfg, base_key, n_seeds):
+        keys = jax.random.split(base_key, n_seeds)
+        return jax.vmap(lambda k: init(k, cfg))(keys)
+
+
+def train_mfm_multiseed(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    n_seeds: int = 8,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+    model_type: Optional[str] = None,
+):
+    """Train ``n_seeds`` independent models of one config in a single
+    vmapped program. Returns per-seed metrics plus the best seed."""
+    logger = logger or RunLogger()
+    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
+    Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
+    Xte = np.ascontiguousarray(np.asarray(X_test).swapaxes(0, 1), np.float32)
+    yv = np.asarray(y_valid)
+    yte = np.asarray(y_test)
+    if cfg.task == "classification":
+        yv, yte = yv.astype(np.int32), yte.astype(np.int32)
+        ytr = np.asarray(y_train, np.int32)
+    else:
+        yv, yte = yv.astype(np.float32), yte.astype(np.float32)
+        ytr = np.asarray(y_train, np.float32)
+
+    name = model_type or cfg.model_type
+    if name not in MODELS:
+        name = "mfm"
+    init, apply_fn = get_model(name)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+
+    base = jax.random.PRNGKey(seed)
+    params = MultiSeedProgram.vinit(init, cfg, base, n_seeds)
+    opt_state = jax.vmap(opt.init)(params)
+    program = MultiSeedProgram(apply_fn, cfg, opt)
+
+    Xb, yb, _ = make_batches(X_train, ytr, cfg.batchsize, False)
+
+    schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
+    best = np.full(n_seeds, np.inf)
+    best_params = [None] * n_seeds
+    lrs = np.full(n_seeds, lr, np.float32)
+    key = jax.random.fold_in(base, 777)
+
+    history = []
+    for epoch_i in range(cfg.num_epochs):
+        key, ek, vk = jax.random.split(key, 3)
+        ekeys = jax.random.split(ek, n_seeds)
+        params, opt_state, tracked = program.epoch(
+            params, opt_state, Xb, yb, ekeys, jnp.asarray(lrs))
+        valids = np.asarray(program.evaluate(params, Xv, yv,
+                                             jax.random.split(vk, n_seeds)))
+        for k in range(n_seeds):
+            lrs[k] = schedulers[k].step(float(valids[k]))
+            if valids[k] <= best[k]:
+                best[k] = valids[k]
+                best_params[k] = jax.tree.map(
+                    lambda a, k=k: np.asarray(a[k]), params)
+        logger.text(epoch_i, np.asarray(tracked).round(4).tolist(),
+                    valids.round(4).tolist())
+        logger.record("epoch", epoch=epoch_i,
+                      train_loss=np.asarray(tracked).tolist(),
+                      valid_loss=valids.tolist())
+        history.append({"epoch": epoch_i, "valids": valids.tolist()})
+
+    # per-seed test scoring with each seed's best params
+    @jax.jit
+    def predict(p, x):
+        out = apply_fn(p, x, cfg, key=jax.random.PRNGKey(0), train=False)
+        y_hat = out[0][3]
+        return (jnp.squeeze(y_hat, 1) if cfg.task == "regression" else y_hat)
+
+    results = []
+    for k in range(n_seeds):
+        p_k = best_params[k] if best_params[k] is not None else jax.tree.map(
+            lambda a, k=k: np.asarray(a[k]), params)
+        y_hat = np.asarray(predict(p_k, Xte))
+        if cfg.task == "classification":
+            m = score_classification(y_hat, yte, out=_Null())
+        else:
+            m = score_regression(y_hat, yte, binary_threshold,
+                                 threshold_mode, out=_Null())
+        results.append({"seed_index": k, "metrics": m,
+                        "best_valid": float(best[k])})
+    key_metric = "accuracy" if cfg.task == "classification" else "mae"
+    pick = (max if cfg.task == "classification" else min)(
+        range(n_seeds), key=lambda k: results[k]["metrics"][key_metric])
+    logger.record("final", per_seed=[r["metrics"] for r in results],
+                  best_seed=pick)
+    return {"results": results, "best_seed": pick,
+            "best_params": best_params[pick], "history": history}
+
+
+class _Null:
+    def write(self, *a):
+        pass
+
+    def flush(self):
+        pass

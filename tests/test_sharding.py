@@ -91,3 +91,27 @@ class TestDataParallel:
         assert mesh.shape["data"] == 8
         mesh2 = make_mesh(8, axes=("data", "model"), shape=(4, 2))
         assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+class TestMultiSeed:
+    def test_multiseed_matches_single_seed_count(self):
+        from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+        from factorized_tpu.utils.logging import RunLogger
+
+        rng = np.random.default_rng(0)
+        dims = (12, 4, 6)
+        d = sum(dims)
+        data = []
+        for n in (48, 16, 24):
+            X = rng.normal(size=(n, 5, d)).astype(np.float32)
+            y = (X.mean((1, 2)) * 3).astype(np.float32)
+            data.extend([X, y])
+        cfg = CFG.replace(input_dims=list(dims), num_epochs=2, batchsize=16)
+        res = train_mfm_multiseed(*data, cfg, n_seeds=3,
+                                  logger=RunLogger(echo=False))
+        assert len(res["results"]) == 3
+        maes = [r["metrics"]["mae"] for r in res["results"]]
+        assert all(np.isfinite(m) for m in maes)
+        # different seeds -> different models
+        assert len({round(m, 6) for m in maes}) > 1
+        assert res["best_seed"] == int(np.argmin(maes))
