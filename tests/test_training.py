@@ -196,3 +196,46 @@ class TestSearchConfig:
         assert cfg2.h_dims == cfg.h_dims
         assert cfg2.att1_shape == cfg.att1_shape
         assert cfg2.lda_mmd == cfg.lda_mmd
+
+
+class TestDeviceBatcher:
+    def test_matches_host_pipeline(self):
+        from factorized_tpu.data.batcher import (
+            DeviceBatcher,
+            compute_train_max,
+        )
+
+        rng = np.random.default_rng(0)
+        emb = rng.normal(size=(50, 16)).astype(np.float32)
+        ids = rng.integers(0, 50, size=(6, 4))
+        cov = rng.normal(size=(6, 4, 3)).astype(np.float32)
+        fac = rng.normal(size=(6, 4, 5)).astype(np.float32)
+
+        fmax = compute_train_max(fac)
+        batcher = DeviceBatcher(emb, fmax)
+        got = np.asarray(batcher(ids, cov, fac))
+        want = np.concatenate([emb[ids], cov, fac / fmax], axis=2)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_train_max_zero_guard(self):
+        from factorized_tpu.data.batcher import compute_train_max
+
+        x = np.zeros((3, 2, 4), np.float32)
+        x[..., 1] = 2.0
+        m = compute_train_max(x)
+        np.testing.assert_array_equal(m, [1.0, 2.0, 1.0, 1.0])
+
+
+class TestDeterminism:
+    def test_same_seed_identical_training(self):
+        """Full reproducibility: same seed -> bitwise-identical history
+        and test metrics (the reference's seed-123 discipline,
+        mfm_mosi.py:1-6, made verifiable)."""
+        data = tiny_data()
+        cfg = tiny_cfg(num_epochs=2)
+        r1 = trainers.train_mfm(*data, cfg, logger=quiet(), seed=5)
+        r2 = trainers.train_mfm(*data, cfg, logger=quiet(), seed=5)
+        assert r1["history"] == r2["history"]
+        assert r1["metrics"] == r2["metrics"]
+        r3 = trainers.train_mfm(*data, cfg, logger=quiet(), seed=6)
+        assert r3["metrics"] != r1["metrics"]
