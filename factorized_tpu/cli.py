@@ -348,8 +348,6 @@ def main(argv=None):
 
     enable()
     args = build_parser().parse_args(argv)
-    if getattr(args, "lr", None) is None and hasattr(args, "lr"):
-        args.lr = None
     return args.func(args)
 
 

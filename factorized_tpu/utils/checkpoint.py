@@ -61,8 +61,13 @@ def restore_checkpoint(path: str, target: Optional[Any] = None):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
+        kw = {}
+        if (target is not None and meta.get("has_opt_state")
+                and "opt_state" not in target):
+            # restoring a params-only view of a full training state
+            kw["partial_restore"] = True
         state = ckptr.restore(os.path.join(os.path.abspath(path), "state"),
-                              item=target)
+                              item=target, **kw)
     else:
         from flax import serialization
 
