@@ -77,3 +77,37 @@ class DataParallel:
             return X, n
         return X, jax.device_put(
             y, NamedSharding(self.mesh, P("data"))), n
+
+
+def tp_param_shardings(mesh: Mesh, params, rules=None):
+    """Optional tensor-parallel shardings for the widest projection
+    weights, composed with DP on a 2-D ('data', 'model') mesh.
+
+    For MFM-sized models TP is demonstrative (SURVEY.md §5.8: ~1M
+    params, DP is the production strategy) — but the mechanism is real:
+    selected weight matrices shard their output columns over 'model'
+    and XLA inserts the all-gathers. ``rules`` is a list of
+    (path_substring, axis) pairs; default shards the decoder output
+    projections and decoder recurrent weights (the 300-wide text heads).
+    """
+    if rules is None:
+        rules = [("decoder_l/fc1/w", 1), ("decoder_l/lstm/wx", 1),
+                 ("decoder_l/lstm/wh", 1)]
+    replicated = NamedSharding(mesh, P())
+
+    def path_str(path):
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    def assign(path, leaf):
+        p = path_str(path)
+        for sub, axis in rules:
+            if sub in p and hasattr(leaf, "ndim") and leaf.ndim == 2:
+                spec = [None, None]
+                spec[axis] = "model"
+                if leaf.shape[axis] % mesh.shape["model"] == 0:
+                    return NamedSharding(mesh, P(*spec))
+        return replicated
+
+    shardings = jax.tree_util.tree_map_with_path(assign, params)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params,
+                        shardings)
