@@ -90,7 +90,6 @@ def _enc_bwd_kernel(xp_ref, wh_ref, allh_ref, allc_ref, dhlast_ref,
     n = xp_ref.shape[1]
     H = wh_ref.shape[0]
     zeros = jnp.zeros((n, H), jnp.float32)
-    dwh_ref[:] = jnp.zeros(dwh_ref.shape, jnp.float32)
 
     def body(k, carry):
         dh, dc = carry
@@ -114,12 +113,19 @@ def _enc_bwd_kernel(xp_ref, wh_ref, allh_ref, allc_ref, dhlast_ref,
             do * so * (1.0 - so),
         ], axis=-1)
         dxp_ref[i] = dgates
-        dwh_ref[:] += _mxu(hp, dgates, ((0,), (0,)))
         dh = _mxu(dgates, wh_ref[:], ((1,), (1,)))
         dc = dc * sf
         return dh, dc
 
     jax.lax.fori_loop(0, t, body, (dhlast_ref[:], zeros))
+
+    # dWh = sum_{i>=1} h_{i-1}^T dgates_i as one post-loop GEMM
+    if t > 1:
+        A = allh_ref[0:t - 1].reshape((t - 1) * n, H)
+        B = dxp_ref[1:t].reshape((t - 1) * n, 4 * H)
+        dwh_ref[:] = _mxu(A, B, ((0,), (0,)))
+    else:
+        dwh_ref[:] = jnp.zeros(dwh_ref.shape, jnp.float32)
 
 
 def _enc_fwd_call(xp, wh):
@@ -207,10 +213,10 @@ def _dec_fwd_kernel(h0_ref, c0_ref, wsum_ref, b_ref, allh_ref, allc_ref):
 
 
 def _dec_bwd_kernel(wsum_ref, b_ref, allh_ref, allc_ref, dallh_ref,
-                    dh0_ref, dc0_ref, dwsum_ref, db_ref):
+                    dh0_ref, dc0_ref, dwsum_ref, db_ref, dgates_scr):
     t = allh_ref.shape[0]
-    dwsum_ref[:] = jnp.zeros(dwsum_ref.shape, jnp.float32)
-    db_ref[:] = jnp.zeros(db_ref.shape, jnp.float32)
+    n = allh_ref.shape[1]
+    H = allh_ref.shape[2]
 
     def body(k, carry):
         dh, dc = carry
@@ -231,8 +237,7 @@ def _dec_bwd_kernel(wsum_ref, b_ref, allh_ref, allc_ref, dallh_ref,
             dc * si * (1.0 - tg * tg),
             do * so * (1.0 - so),
         ], axis=-1)
-        dwsum_ref[:] += _mxu(hp, dgates, ((0,), (0,)))
-        db_ref[:] += jnp.sum(dgates, axis=0, keepdims=True)
+        dgates_scr[i - 1] = dgates
         dh = _mxu(dgates, wsum_ref[:], ((1,), (1,))) + dallh_ref[i - 1]
         dc = dc * sf
         return dh, dc
@@ -242,6 +247,12 @@ def _dec_bwd_kernel(wsum_ref, b_ref, allh_ref, allc_ref, dallh_ref,
         (dallh_ref[t - 1], jnp.zeros(dc0_ref.shape, jnp.float32)))
     dh0_ref[:] = dh
     dc0_ref[:] = dc
+
+    # dwsum = sum_{i>=1} h_{i-1}^T dgates_i as one post-loop GEMM
+    A = allh_ref[0:t - 1].reshape((t - 1) * n, H)
+    B = dgates_scr[:].reshape((t - 1) * n, 4 * H)
+    dwsum_ref[:] = _mxu(A, B, ((0,), (0,)))
+    db_ref[:] = jnp.sum(B, axis=0, keepdims=True)
 
 
 def _dec_fwd_call(h0, c0, wsum, b, t):
@@ -272,6 +283,7 @@ def _dec_bwd_call(wsum, b, allh, allc, dallh):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((t - 1, n, 4 * H), jnp.float32)],
         interpret=_interpret(),
     )(wsum, b, allh, allc, dallh)
 

@@ -258,7 +258,6 @@ def _bwd_kernel(z_tot, train, xp_ref, masks_ref, *refs):
             do * so * (1.0 - so),
         ], axis=-1)
         dxp_ref[i] = dgates
-        dw["wh"][:] += mm_at_b(hp, dgates)
         dh_prev = mm_abt(dgates, w["wh"])
         dc_prev = dc_full * sf + dc_prev_att
         return dh_prev, dc_prev, dmem_prev
@@ -266,6 +265,17 @@ def _bwd_kernel(z_tot, train, xp_ref, masks_ref, *refs):
     zeros_h = jnp.zeros((n, H), jnp.float32)
     jax.lax.fori_loop(
         0, t, outer, (dhlast_ref[:], zeros_h, dmemlast_ref[:]))
+
+    # The recurrent weight grad sums over all transitions:
+    # dWh = sum_{i>=1} h_{i-1}^T dgates_i — ONE big ((t-1)*n, H)^T x
+    # ((t-1)*n, 4H) MXU GEMM over buffers already in VMEM, instead of
+    # t small accumulations inside the sequential loop.
+    if t > 1:
+        A = allh_ref[0:t - 1].reshape((t - 1) * n, H)
+        B = dxp_ref[1:t].reshape((t - 1) * n, 4 * H)
+        dw["wh"][:] = _mxu(A, B, ((0,), (0,)))
+    else:
+        dw["wh"][:] = jnp.zeros(dw["wh"].shape, jnp.float32)
 
 
 def _specs(k):
