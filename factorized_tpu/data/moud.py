@@ -61,7 +61,24 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None,
                 elif lab == "negative":
                     labels.setdefault(vid, {})[sid] = 0
                 # neutral dropped (mfm_moud.py:55-56)
-        video_ids = list(text_dict.keys())
+        # split order: first-seen video order in spanish_text.csv
+        # (mfm_moud.py:83-90); fall back to dict order if absent
+        csv_path = os.path.join(data_root, "spanish_text.csv")
+        if os.path.exists(csv_path):
+            import csv as _csv
+
+            seen = []
+            with open(csv_path, newline="") as f:
+                for row in _csv.reader(f):
+                    if not row:
+                        continue
+                    vid = row[0][:row[0].index(".")] if "." in row[0] \
+                        else row[0]
+                    if vid not in seen:
+                        seen.append(vid)
+            video_ids = seen
+        else:
+            video_ids = list(text_dict.keys())
     else:
         text_dict, audio_dict, video_dict, labels = synthetic.synthetic_dicts(
             79, dims=tuple(INPUT_DIMS), label_mode="2", seed=synthetic_seed

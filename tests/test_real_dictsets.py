@@ -93,3 +93,22 @@ class TestRealMmmo:
         assert 1.0 <= y_tr.min() and y_tr.max() <= 7.0
         assert mmmo.BINARY_THRESHOLD == 3.5
         assert mmmo.THRESHOLD_MODE == "gt"
+
+
+class TestMoudCsvOrder:
+    def test_split_uses_spanish_text_order(self, tmp_path):
+        rng = np.random.default_rng(3)
+        text, audio, video = _make_modality_dicts(rng, 62, 1,
+                                                  vid_fmt="sp_{:03d}")
+        _dump_dicts(tmp_path, (text, audio, video),
+                    ("text_dict.p", "audio_dict.p", "video_dict.p"))
+        vids = list(text)
+        (tmp_path / "cats.txt").write_text("\n".join(
+            f"{vid}_1 positive" for vid in vids))
+        # csv lists videos in REVERSED order -> split must follow it
+        (tmp_path / "spanish_text.csv").write_text("\n".join(
+            f"{vid}.mp4_seg_1,x" for vid in reversed(vids)))
+        X_tr, y_tr, X_v, y_v, X_te, y_te = moud.get_data(
+            seqlength=4, data_root=str(tmp_path))
+        # 62 videos reversed: train = last 49 of original order
+        assert len(y_tr) == 49 and len(y_v) == 10 and len(y_te) == 3
