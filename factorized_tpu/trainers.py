@@ -83,7 +83,9 @@ def _loop(
 ):
     """The per-epoch host loop: jitted epoch -> full-set eval -> RLROP ->
     best-valid checkpointing — the shape of every reference trainer
-    (``mfm_mosi.py:467-479``)."""
+    (``mfm_mosi.py:467-479``) — plus divergence detection (NaN/inf
+    losses abort the run and are recorded; the reference would silently
+    checkpoint garbage)."""
     history = []
     lr = scheduler.lr
     for epoch in range(num_epochs):
@@ -95,6 +97,13 @@ def _loop(
             valid = float(program.evaluate(params, Xv, yv, vk))
         else:
             valid = eval_metric(params, Xv, yv, vk)
+        if not (np.isfinite(train_loss) and np.isfinite(valid)):
+            logger.text(epoch, train_loss, valid, "DIVERGED - aborting run")
+            logger.record("diverged", epoch=epoch, train_loss=train_loss,
+                          valid_loss=valid)
+            history.append({"epoch": epoch, "train_loss": train_loss,
+                            "valid": valid, "diverged": True})
+            break
         lr = scheduler.step(valid)
         saved = keeper.update(valid, params, epoch)
         if save_always and not saved:

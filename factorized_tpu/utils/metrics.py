@@ -155,6 +155,12 @@ def score_regression(predictions, y_test, binary_threshold=0.0,
     out = out or sys.stdout
     predictions = np.asarray(predictions)
     y_test = np.asarray(y_test)
+    if not np.isfinite(predictions).all():
+        print("predictions non-finite (diverged run) - skipping score",
+              file=out)
+        return {k: float("nan") for k in
+                ("mae", "corr", "mult_acc", "mult_f_score",
+                 "binary_accuracy", "binary_f1")}
     m = regression_metrics(predictions, y_test, binary_threshold,
                            threshold_mode)
     if threshold_mode == "ge":
@@ -194,6 +200,10 @@ def score_classification(predictions, y_test, out=None):
     (``mfm_moud.py:421-429``) and return the metrics dict."""
     out = out or sys.stdout
     pred = np.asarray(predictions)
+    if not np.isfinite(pred).all():
+        print("predictions non-finite (diverged run) - skipping score",
+              file=out)
+        return {"accuracy": float("nan"), "f1_weighted": float("nan")}
     if pred.ndim == 2:
         pred = np.argmax(pred, axis=1)
     y_test = np.asarray(y_test)

@@ -239,3 +239,15 @@ class TestDeterminism:
         assert r1["metrics"] == r2["metrics"]
         r3 = trainers.train_mfm(*data, cfg, logger=quiet(), seed=6)
         assert r3["metrics"] != r1["metrics"]
+
+
+class TestDivergenceGuard:
+    def test_nan_aborts_run(self):
+        """A diverging run (huge lr) stops at the first non-finite loss
+        instead of wasting the remaining epochs."""
+        data = tiny_data()
+        cfg = tiny_cfg(num_epochs=10)
+        res = trainers.train_mfm(*data, cfg, logger=quiet(), lr=1e18)
+        assert len(res["history"]) < 10
+        assert res["history"][-1].get("diverged", False) or all(
+            np.isfinite(h["train_loss"]) for h in res["history"])
