@@ -194,6 +194,8 @@ def run_test_mosi(args):
         score_regression,
     )
 
+    import numpy as np
+
     data = load_dataset("mosi", 20, args.data_root)
     _, _, _, _, X_test, y_test = data
     predictor = Predictor.from_checkpoint(args.checkpoint)
@@ -201,7 +203,9 @@ def run_test_mosi(args):
     if predictor.cfg.task == "regression":
         score_regression(y_hat, y_test)
     else:
-        score_classification(y_hat, y_test)
+        # acc-variant checkpoints classify binarized sentiment
+        # (mfm_mosi_acc.py:505-508)
+        score_classification(y_hat, (y_test >= 0).astype(np.int64))
     probe = predictor.probe(X_test)
     print("inference probe:", json.dumps(probe))
     return 0
