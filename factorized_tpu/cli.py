@@ -176,8 +176,17 @@ def run_mosi_acc(args):
             cfg = cfg.replace(num_epochs=args.epochs)
         logger = RunLogger(args.out, run_id=f"mosi_acc_{trial}")
         logger.record("config", **cfg.to_dict())
-        trainers.train_mfm_acc(*data, cfg, logger=logger,
-                               seed=args.seed + trial)
+        if args.seeds > 1:
+            from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+
+            train_mfm_multiseed(
+                *data, cfg.replace(task="classification", output_dim=2),
+                n_seeds=args.seeds, logger=logger, seed=args.seed + trial,
+                valid_metric="accuracy",
+            )
+        else:
+            trainers.train_mfm_acc(*data, cfg, logger=logger,
+                                   seed=args.seed + trial)
         logger.close()
         trial += 1
         if args.mode != "search" or (args.trials and trial >= args.trials):

@@ -45,6 +45,16 @@ class MultiSeedProgram:
     def __init__(self, apply_fn, cfg, optimizer, variant="joint"):
         loss_fn = make_loss_fn(apply_fn, cfg, variant)
         eval_fn = make_eval_fn(apply_fn, cfg, variant)
+
+        def predict_fn(params, x):
+            out = apply_fn(params, x, cfg, key=jax.random.PRNGKey(0),
+                           train=False)
+            y_hat = out[0][3]
+            return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
+                    else y_hat)
+
+        self.predict = jax.jit(jax.vmap(predict_fn, in_axes=(0, None)))
+        self.predict_one = jax.jit(predict_fn)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def seed_step(params, opt_state, x, y, key, lr):
@@ -94,9 +104,14 @@ def train_mfm_multiseed(
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
     model_type: Optional[str] = None,
+    valid_metric: str = "loss",
 ):
     """Train ``n_seeds`` independent models of one config in a single
-    vmapped program. Returns per-seed metrics plus the best seed."""
+    vmapped program. Returns per-seed metrics plus the best seed.
+
+    ``valid_metric='accuracy'`` reproduces the acc-maximizing trainer's
+    semantics (``mfm_mosi_acc.py:479-485``: keep-on-best-ACCURACY with
+    >=, scheduler still stepping on the same number)."""
     logger = logger or RunLogger()
     X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
     Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
@@ -125,7 +140,8 @@ def train_mfm_multiseed(
     Xb, yb, _ = make_batches(X_train, ytr, cfg.batchsize, False)
 
     schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
-    best = np.full(n_seeds, np.inf)
+    best = np.full(n_seeds, -np.inf if valid_metric == "accuracy"
+                   else np.inf)
     best_params = [None] * n_seeds
     lrs = np.full(n_seeds, lr, np.float32)
     key = jax.random.fold_in(base, 777)
@@ -136,11 +152,18 @@ def train_mfm_multiseed(
         ekeys = jax.random.split(ek, n_seeds)
         params, opt_state, tracked = program.epoch(
             params, opt_state, Xb, yb, ekeys, jnp.asarray(lrs))
-        valids = np.asarray(program.evaluate(params, Xv, yv,
-                                             jax.random.split(vk, n_seeds)))
+        if valid_metric == "accuracy":
+            logits = np.asarray(program.predict(params, Xv))
+            valids = (np.argmax(logits, axis=2) == yv[None]).mean(axis=1)
+        else:
+            valids = np.asarray(
+                program.evaluate(params, Xv, yv,
+                                 jax.random.split(vk, n_seeds)))
+        better = ((valids >= best) if valid_metric == "accuracy"
+                  else (valids <= best))
         for k in range(n_seeds):
             lrs[k] = schedulers[k].step(float(valids[k]))
-            if valids[k] <= best[k]:
+            if better[k]:
                 best[k] = valids[k]
                 best_params[k] = jax.tree.map(
                     lambda a, k=k: np.asarray(a[k]), params)
@@ -152,12 +175,7 @@ def train_mfm_multiseed(
         history.append({"epoch": epoch_i, "valids": valids.tolist()})
 
     # per-seed test scoring with each seed's best params
-    @jax.jit
-    def predict(p, x):
-        out = apply_fn(p, x, cfg, key=jax.random.PRNGKey(0), train=False)
-        y_hat = out[0][3]
-        return (jnp.squeeze(y_hat, 1) if cfg.task == "regression" else y_hat)
-
+    predict = program.predict_one
     results = []
     for k in range(n_seeds):
         p_k = best_params[k] if best_params[k] is not None else jax.tree.map(

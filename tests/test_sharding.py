@@ -115,3 +115,27 @@ class TestMultiSeed:
         # different seeds -> different models
         assert len({round(m, 6) for m in maes}) > 1
         assert res["best_seed"] == int(np.argmin(maes))
+
+
+class TestMultiSeedAcc:
+    def test_accuracy_semantics(self):
+        from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+        from factorized_tpu.utils.logging import RunLogger
+
+        rng = np.random.default_rng(0)
+        dims = (12, 4, 6)
+        d = sum(dims)
+        data = []
+        for n in (48, 16, 24):
+            X = rng.normal(size=(n, 5, d)).astype(np.float32)
+            y = (X.mean((1, 2)) > 0).astype(np.int64)
+            data.extend([X, y])
+        cfg = CFG.replace(input_dims=list(dims), num_epochs=2,
+                          batchsize=16, task="classification",
+                          output_dim=2)
+        res = train_mfm_multiseed(*data, cfg, n_seeds=2,
+                                  logger=RunLogger(echo=False),
+                                  valid_metric="accuracy")
+        for r in res["results"]:
+            assert 0.0 <= r["metrics"]["accuracy"] <= 1.0
+            assert 0.0 <= r["best_valid"] <= 1.0  # accuracies, not losses
