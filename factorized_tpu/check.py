@@ -95,14 +95,23 @@ def parse_text_log(path, condition=None):
     return metrics, recon
 
 
-def parse_jsonl(path):
-    """Collect metrics from a RunLogger JSONL file."""
+def parse_jsonl(path, condition=None):
+    """Collect metrics from a RunLogger JSONL file. Values from EVERY
+    per-condition sub-dict are collected (best-over-conditions like the
+    reference's unfiltered text scrape); ``condition`` ('l'|'a'|'v')
+    restricts to that missing-modality section's sub-dicts."""
     metrics = defaultdict(list)
     key_map = {
         "mae": "mae", "corr": "corr", "mult_acc": "mult_acc",
         "mult_f_score": "fscore", "binary_accuracy": "acc",
         "accuracy": "acc", "f1_weighted": "fscore",
     }
+
+    def collect(d):
+        for k, v in d.items():
+            if k in key_map and isinstance(v, (int, float)):
+                metrics[key_map[k]].append(v)
+
     with open(path) as f:
         for line in f:
             try:
@@ -111,16 +120,15 @@ def parse_jsonl(path):
                 continue
             if rec.get("kind") != "final":
                 continue
-            flat = {}
+            scalars = {k: v for k, v in rec.items()
+                       if not isinstance(v, dict)}
+            if condition is None:
+                collect(scalars)
             for k, v in rec.items():
-                if isinstance(v, dict):  # per-condition sub-metrics
-                    for kk, vv in v.items():
-                        flat[kk] = vv
-                else:
-                    flat[k] = v
-            for k, v in flat.items():
-                if k in key_map and isinstance(v, (int, float)):
-                    metrics[key_map[k]].append(v)
+                if isinstance(v, dict):
+                    if condition is not None and k != f"y_hat_no{condition}":
+                        continue
+                    collect(v)
     return metrics
 
 
@@ -133,7 +141,7 @@ def check_dir(directory, condition=None, out=print):
     for name in files:
         path = os.path.join(directory, name)
         if name.endswith(".jsonl"):
-            metrics = parse_jsonl(path)
+            metrics = parse_jsonl(path, condition)
             recon = {}
         elif name.endswith(".txt") or name.endswith(".log"):
             metrics, recon = parse_text_log(path, condition)

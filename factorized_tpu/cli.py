@@ -124,7 +124,10 @@ def run_dataset(args):
         # moud/you pass config lr to Adam (mfm_moud.py:466); mosi/mmmo
         # use the torch default (mfm_mosi.py:403)
         lr = cfg.lr if info["task"] == "classification" else args.lr
-        if args.seeds > 1 and cfg.model_type in ("mfm", "kl", "kl_ef") \
+        # kl_ef trains with the two-stage beta-VAE schedule, which the
+        # vmapped multiseed path does not implement - route only the
+        # joint-loss types through it
+        if args.seeds > 1 and cfg.model_type in ("mfm", "kl") \
                 and not (cfg.missing or cfg.zeros):
             from factorized_tpu.parallel.multiseed import train_mfm_multiseed
 
@@ -149,9 +152,14 @@ def run_dataset(args):
             from factorized_tpu.utils.checkpoint import save_checkpoint
 
             path = f"{args.out}/ckpt_{args.dataset}_{trial}"
+            meta_cfg = cfg.to_dict()
+            if res.get("history"):
+                meta_cfg["_resume_lr"] = res["history"][-1].get("lr")
+            if "best_valid" in res:
+                meta_cfg["_resume_best_valid"] = res["best_valid"]
             save_checkpoint(path, res["params"],
                             opt_state=res.get("opt_state"),
-                            step=cfg.num_epochs, config=cfg.to_dict())
+                            step=cfg.num_epochs, config=meta_cfg)
             logger.text(f"checkpoint saved to {path}")
         logger.close()
         trial += 1
@@ -168,12 +176,20 @@ def run_mosi_acc(args):
     for i in (1, 3, 5):
         data[i] = (data[i] >= 0).astype(np.int64)
     rng = random.Random(args.seed)
+    base = (MFMConfig.from_json(args.config) if args.config
+            else best_acc_mosi_config())
     trial = 0
     while True:
-        cfg = (best_acc_mosi_config() if args.mode == "best"
-               else sample_search_config("mosi", rng))
+        if args.mode == "search":
+            cfg = sample_search_config("mosi", rng)
+        elif args.mode == "best":
+            cfg = best_acc_mosi_config()
+        else:  # single: the provided config (or pinned default)
+            cfg = base
         if args.epochs:
             cfg = cfg.replace(num_epochs=args.epochs)
+        if args.batchsize:
+            cfg = cfg.replace(batchsize=args.batchsize)
         logger = RunLogger(args.out, run_id=f"mosi_acc_{trial}")
         logger.record("config", **cfg.to_dict())
         if args.seeds > 1:
@@ -267,7 +283,7 @@ def run_test_attention(args):
                     num_epochs=args.epochs or 100)
     logger = RunLogger(args.out, run_id="self_attention")
     trainers.train_predictor(*data, "self_attention", cfg,
-                             h=args.hidden, drop=0.5, lr=args.lr,
+                             h=args.hidden, drop=0.5, lr=args.lr or 0.01,
                              logger=logger, seed=args.seed)
     logger.close()
     return 0

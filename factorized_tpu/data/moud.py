@@ -3,8 +3,12 @@
 Parity with ``mfm_moud.py:34-273``:
 - labels from ``cats.txt``: positive=1, negative=0, NEUTRAL DROPPED
   (``mfm_moud.py:53-58``);
-- split by first-seen video order: first 49 videos train, next 10
-  valid, rest (>=59) test (``mfm_moud.py:90-107``);
+- split by first-seen video order (``mfm_moud.py:90-107``): the
+  reference adds the video to its seen-set BEFORE the threshold checks,
+  so the 49th first-seen video already lands in VALID and the 59th in
+  TEST — i.e. train = videos 1..48, valid = 49..58, test = 59.. (the
+  in-code comment says "49 train 10 val 20 test" but the code yields
+  48/10/21; we reproduce the CODE);
 - features from pre-pickled text/audio/video dicts
   (``mfm_moud.py:193-195``);
 - RIGHT-padded to seqlength, truncate keeping last
@@ -31,7 +35,9 @@ NUM_CLASSES = 2
 SEQLENGTH = 20
 
 
-def _order_preserving_split(video_ids, n_train=49, n_valid=10):
+def _order_preserving_split(video_ids, n_train=48, n_valid=10):
+    """Reference semantics (mfm_moud.py:90-107): videos counted BEFORE
+    the >=49/>=59 threshold checks -> 48 train / 10 valid / rest test."""
     train_v = video_ids[:n_train]
     valid_v = video_ids[n_train:n_train + n_valid]
     test_v = video_ids[n_train + n_valid:]

@@ -138,6 +138,9 @@ def train_mfm_multiseed(
     program = MultiSeedProgram(apply_fn, cfg, opt)
 
     Xb, yb, _ = make_batches(X_train, ytr, cfg.batchsize, False)
+    # device-resident across all epochs
+    Xb, yb = jax.device_put(Xb), jax.device_put(yb)
+    Xv_d = jax.device_put(Xv)
 
     schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
     best = np.full(n_seeds, -np.inf if valid_metric == "accuracy"
@@ -153,11 +156,11 @@ def train_mfm_multiseed(
         params, opt_state, tracked = program.epoch(
             params, opt_state, Xb, yb, ekeys, jnp.asarray(lrs))
         if valid_metric == "accuracy":
-            logits = np.asarray(program.predict(params, Xv))
+            logits = np.asarray(program.predict(params, Xv_d))
             valids = (np.argmax(logits, axis=2) == yv[None]).mean(axis=1)
         else:
             valids = np.asarray(
-                program.evaluate(params, Xv, yv,
+                program.evaluate(params, Xv_d, yv,
                                  jax.random.split(vk, n_seeds)))
         better = ((valids >= best) if valid_metric == "accuracy"
                   else (valids <= best))

@@ -56,6 +56,10 @@ def make_batches(X, y, batchsize: int, include_remainder: bool):
     """
     t, n, d = X.shape
     nb = n // batchsize
+    if nb == 0:
+        raise ValueError(
+            f"batchsize {batchsize} exceeds the {n} training samples - "
+            f"no full batch can be formed")
     Xb = X[:, : nb * batchsize].reshape(t, nb, batchsize, d).transpose(1, 0, 2, 3)
     yb = y[: nb * batchsize].reshape(nb, batchsize)
     rem = None

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from factorized_tpu.models import get_model
-from factorized_tpu.models.registry import MODELS
 from factorized_tpu.ops.losses import l2_loss
 from factorized_tpu.train import (
     TrainProgram,
@@ -88,6 +87,12 @@ def _loop(
     checkpoint garbage)."""
     history = []
     lr = scheduler.lr
+    # device-resident epoch tensors: uploaded once, reused every epoch
+    # (numpy args would re-transfer host->device per call)
+    Xb = jax.device_put(Xb)
+    yb = jax.device_put(yb)
+    Xv = jax.device_put(Xv)
+    yv = jax.device_put(yv)
     for epoch in range(num_epochs):
         key, ek, vk = jax.random.split(key, 3)
         params, opt_state, train_loss = program.run_epoch(
@@ -155,9 +160,14 @@ def train_mfm(
     Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
         X_train, y_train, X_valid, y_valid, X_test, y_test, seed
     )
-    name = model_type or ("kl" if cfg.model_type == "kl" else cfg.model_type)
-    if name not in MODELS:
-        name = "mfm"
+    name = model_type or cfg.model_type
+    # only types with the standard (decoded, reg, missing) return work
+    # in this trainer; anything else is a config error, not a fallback
+    standard = ("mfm", "kl", "kl_ef", "m_a", "m_b", "m_c", "m_d")
+    if name not in standard:
+        raise ValueError(
+            f"train_mfm cannot train model type {name!r}; expected one "
+            f"of {standard} (use the dedicated trainer otherwise)")
     init, apply_fn = get_model(name)
     key = jax.random.PRNGKey(seed)
     key, ik = jax.random.split(key)
@@ -170,6 +180,7 @@ def train_mfm(
     opt_state = opt.init(params)
 
     start_epoch = 0
+    resume_lr, resume_best = None, None
     if resume_from:
         from factorized_tpu.utils.checkpoint import restore_checkpoint
 
@@ -178,15 +189,23 @@ def train_mfm(
         )
         params, opt_state = state["params"], state["opt_state"]
         start_epoch = meta.get("step", 0)
-        logger.text(f"resumed from {resume_from} at epoch {start_epoch}")
+        # restore schedule/keeper context so dynamics continue from
+        # where the run left off (patience counters restart)
+        resume_lr = meta.get("config", {}).get("_resume_lr")
+        resume_best = meta.get("config", {}).get("_resume_best_valid")
+        logger.text(f"resumed from {resume_from} at epoch {start_epoch}"
+                    + (f" lr={resume_lr}" if resume_lr else ""))
 
     program = TrainProgram(apply_fn, cfg, "joint", opt)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize,
                                include_remainder)
     yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
 
-    scheduler = ReduceLROnPlateau(lr)
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
     keeper = BestKeeper("min")
+    if resume_best is not None:
+        keeper.best = resume_best
+        keeper.best_params = jax.tree.map(np.asarray, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,

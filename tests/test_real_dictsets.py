@@ -110,5 +110,5 @@ class TestMoudCsvOrder:
             f"{vid}.mp4_seg_1,x" for vid in reversed(vids)))
         X_tr, y_tr, X_v, y_v, X_te, y_te = moud.get_data(
             seqlength=4, data_root=str(tmp_path))
-        # 62 videos reversed: train = last 49 of original order
-        assert len(y_tr) == 49 and len(y_v) == 10 and len(y_te) == 3
+        # 62 videos reversed; split 48/10/rest (mfm_moud.py:90-107)
+        assert len(y_tr) == 48 and len(y_v) == 10 and len(y_te) == 4

@@ -144,10 +144,11 @@ class TestDataAdapters:
 
     def test_moud_split_counts(self):
         X_tr, _, X_v, _, X_te, _ = moud.get_data(seqlength=4)
-        # 79 synthetic videos x 6 segments: 49/10/20 videos
-        assert X_tr.shape[0] == 49 * 6
+        # 79 synthetic videos x 6 segments; reference counts the video
+        # BEFORE its >=49/>=59 checks -> 48/10/21 (mfm_moud.py:90-107)
+        assert X_tr.shape[0] == 48 * 6
         assert X_v.shape[0] == 10 * 6
-        assert X_te.shape[0] == 20 * 6
+        assert X_te.shape[0] == 21 * 6
 
     def test_youtube_three_classes(self):
         _, y_tr, _, _, _, y_te = youtube.get_data(seqlength=4)
