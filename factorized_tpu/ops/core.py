@@ -43,9 +43,13 @@ def dropout(key, x, rate: float, train: bool):
     """Inverted dropout. `rate` must be a python float (static under jit)."""
     if not train or rate <= 0.0:
         return x
+    if rate >= 1.0:
+        # torch zeroes everything with zero grads; x/keep would be 0*inf
+        return jnp.zeros_like(x)
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    # multiply form keeps the VJP NaN-free (no division inside where)
+    return x * (mask.astype(x.dtype) * (1.0 / keep))
 
 
 def mlp2_init(key, d_in: int, d_hidden: int, d_out: int, dtype=jnp.float32):

@@ -186,12 +186,7 @@ def fused_decoder_scan(dec_params: Sequence[dict], hTs: Sequence[jnp.ndarray],
         co += d
     b_out = jnp.concatenate([p["fc1"]["b"] for p in dec_params])
     recon = (all_h.reshape(t * n, h_tot) @ w_out + b_out).reshape(t, n, d_tot)
-    outs = []
-    o = 0
-    for d in d_dims:
-        outs.append(recon[..., o : o + d])
-        o += d
-    return outs
+    return split_heads(recon, d_dims)
 
 
 def _mlp2_pair_merged(p1, p2, x, drops, keys, train):
@@ -245,14 +240,22 @@ def fused_mfm_encode(enc_cells, mfn_params, x_l, x_a, x_v, *, mem_dim,
     from factorized_tpu.ops import pallas_mfn
 
     att_in = 2 * sum(h_dims[3:])
+    site_sizes = (
+        mfn_params["att1"]["fc1"]["w"].shape[1],
+        mfn_params["att2"]["fc1"]["w"].shape[1],
+        mfn_params["gamma1"]["fc1"]["w"].shape[1],
+        mfn_params["gamma2"]["fc1"]["w"].shape[1],
+    )
     widths = [
-        att_in * mfn_params["att1"]["fc1"]["w"].shape[1],
-        att_in * mfn_params["att2"]["fc1"]["w"].shape[1],
-        (att_in + mem_dim) * (mfn_params["gamma1"]["fc1"]["w"].shape[1]
-                              + mfn_params["gamma2"]["fc1"]["w"].shape[1]),
+        att_in * site_sizes[0],
+        att_in * site_sizes[1],
+        (att_in + mem_dim) * (site_sizes[2] + site_sizes[3]),
     ]
+    # masks only exist when training with at least one nonzero rate
+    use_masks = train and key is not None and any(d > 0.0 for d in drops)
+    mask_words = t * n * sum(site_sizes) if use_masks else 0
     if _pallas_ok(pallas_mfn.encode_fits(t, n, h_tot, mem_dim, att_in,
-                                         widths)):
+                                         widths, mask_words)):
         def b2(p):
             return p["b"].reshape(1, -1)
 
@@ -280,12 +283,12 @@ def fused_mfm_encode(enc_cells, mfn_params, x_l, x_a, x_v, *, mem_dim,
         s3 = weights["g1w2"].shape[0]
         sizes = (weights["a1w1"].shape[1], weights["a2w1"].shape[1],
                  s3, weights["gw1"].shape[1] - s3)
-        if train and key is not None:
+        if use_masks:
             masks = pallas_mfn.make_dropout_masks(key, t, n, sizes, drops)
         else:
             masks = jnp.zeros((1, 1, 1), jnp.float32)
         h_last, mem = pallas_mfn.mfm_encode_pallas(
-            xp, masks, weights, z_tot, train
+            xp, masks, weights, z_tot, use_masks
         )
         enc_hs = split_heads(h_last[:, :z_tot], h_dims[:3])
         return enc_hs, jnp.concatenate([h_last[:, z_tot:], mem], axis=1)

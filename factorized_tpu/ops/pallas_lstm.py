@@ -64,10 +64,11 @@ def _sig(x):
 
 # ===================================================== multi-cell encoder
 
-def _enc_fwd_kernel(xp_ref, wh_ref, hlast_ref, allh_ref, allc_ref):
+def _enc_fwd_kernel(with_res, xp_ref, wh_ref, hlast_ref, *res_refs):
     t = xp_ref.shape[0]
     n = xp_ref.shape[1]
     H = wh_ref.shape[0]
+    allh_ref, allc_ref = res_refs if with_res else (None, None)
 
     def body(i, carry):
         h, c = carry
@@ -75,8 +76,9 @@ def _enc_fwd_kernel(xp_ref, wh_ref, hlast_ref, allh_ref, allc_ref):
         ig, fg, gg, og = jnp.split(gates, 4, axis=-1)
         c = _sig(fg) * c + _sig(ig) * jnp.tanh(gg)
         h = _sig(og) * jnp.tanh(c)
-        allh_ref[i] = h
-        allc_ref[i] = c
+        if with_res:
+            allh_ref[i] = h
+            allc_ref[i] = c
         return h, c
 
     zeros = jnp.zeros((n, H), jnp.float32)
@@ -128,21 +130,20 @@ def _enc_bwd_kernel(xp_ref, wh_ref, allh_ref, allc_ref, dhlast_ref,
         dwh_ref[:] = jnp.zeros(dwh_ref.shape, jnp.float32)
 
 
-def _enc_fwd_call(xp, wh):
+def _enc_fwd_call(xp, wh, with_res=True):
     t, n, H4 = xp.shape
     H = H4 // 4
+    out_shape = [jax.ShapeDtypeStruct((n, H), jnp.float32)]
+    if with_res:
+        out_shape += [jax.ShapeDtypeStruct((t, n, H), jnp.float32),
+                      jax.ShapeDtypeStruct((t, n, H), jnp.float32)]
     return pl.pallas_call(
-        _enc_fwd_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n, H), jnp.float32),
-            jax.ShapeDtypeStruct((t, n, H), jnp.float32),
-            jax.ShapeDtypeStruct((t, n, H), jnp.float32),
-        ),
+        functools.partial(_enc_fwd_kernel, with_res),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shape),
         interpret=_interpret(),
     )(xp, wh)
 
@@ -168,7 +169,7 @@ def multi_lstm(xp, wh):
     """Fused-cell LSTM over time: xp (t, n, 4H) gate-major input
     projections, wh (H, 4H) block-diagonal recurrence. -> h_last (n, H).
     """
-    h_last, _, _ = _enc_fwd_call(xp, wh)
+    (h_last,) = _enc_fwd_call(xp, wh, with_res=False)
     return h_last
 
 

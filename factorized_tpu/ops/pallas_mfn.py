@@ -98,17 +98,21 @@ def _step_fwd(h, c, mem, xp_t, masks_t, w, z_tot, train):
     if train:
         r3 = r3 * jnp.concatenate([m3, m4], axis=1)
     s3 = w["g1w2"].shape[0]
-    g1 = _sig(jnp.dot(r3[:, :s3], w["g1w2"],
-                      preferred_element_type=jnp.float32) + w["g1b2"])
-    g2 = _sig(jnp.dot(r3[:, s3:], w["g2w2"],
-                      preferred_element_type=jnp.float32) + w["g2b2"])
+    g1 = _sig(_mxu(r3[:, :s3], w["g1w2"]) + w["g1b2"])
+    g2 = _sig(_mxu(r3[:, s3:], w["g2w2"]) + w["g2b2"])
     new_mem = g1 * mem + g2 * chat
     return new_h, new_c, new_mem
 
 
-def _fwd_kernel(z_tot, train, xp_ref, masks_ref, *refs):
+def _fwd_kernel(z_tot, train, with_res, xp_ref, masks_ref, *refs):
     w = {name: refs[k][:] for k, name in enumerate(_W_NAMES)}
-    hlast_ref, memlast_ref, allh_ref, allc_ref, allmem_ref = refs[len(_W_NAMES):]
+    outs = refs[len(_W_NAMES):]
+    if with_res:
+        hlast_ref, memlast_ref, allh_ref, allc_ref, allmem_ref = outs
+    else:
+        # inference: no residual buffers - saves ~2.6MB of VMEM writes
+        # + HBM copy-out per encode at MOSI size
+        hlast_ref, memlast_ref = outs
     t, n, _ = xp_ref.shape
     H = w["wh"].shape[0]
     mem_dim = w["a2w2"].shape[1]
@@ -118,9 +122,10 @@ def _fwd_kernel(z_tot, train, xp_ref, masks_ref, *refs):
         masks_t = masks_ref[i] if train else None
         h, c, mem = _step_fwd(h, c, mem, xp_ref[i], masks_t, w, z_tot,
                               train)
-        allh_ref[i] = h
-        allc_ref[i] = c
-        allmem_ref[i] = mem
+        if with_res:
+            allh_ref[i] = h
+            allc_ref[i] = c
+            allmem_ref[i] = mem
         return h, c, mem
 
     zeros_h = jnp.zeros((n, H), jnp.float32)
@@ -186,10 +191,8 @@ def _bwd_kernel(z_tot, train, xp_ref, masks_ref, *refs):
         r3 = jax.nn.relu(u3)
         if train:
             r3 = r3 * jnp.concatenate([m3, m4], axis=1)
-        g1 = _sig(jnp.dot(r3[:, :s3], w["g1w2"],
-                          preferred_element_type=jnp.float32) + w["g1b2"])
-        g2 = _sig(jnp.dot(r3[:, s3:], w["g2w2"],
-                          preferred_element_type=jnp.float32) + w["g2b2"])
+        g1 = _sig(_mxu(r3[:, :s3], w["g1w2"]) + w["g1b2"])
+        g2 = _sig(_mxu(r3[:, s3:], w["g2w2"]) + w["g2b2"])
 
         def mm_at_b(a, b):  # a^T @ b
             return _mxu(a, b, ((0,), (0,)))
@@ -282,22 +285,26 @@ def _specs(k):
     return [pl.BlockSpec(memory_space=pltpu.VMEM)] * k
 
 
-def _fwd_call(xp, masks, weights, z_tot, train):
+def _fwd_call(xp, masks, weights, z_tot, train, with_res=True):
     t, n, H4 = xp.shape
     H = H4 // 4
     mem_dim = weights["a2w2"].shape[1]
-    kern = functools.partial(_fwd_kernel, z_tot, train)
-    return pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((n, H), jnp.float32),
-            jax.ShapeDtypeStruct((n, mem_dim), jnp.float32),
+    kern = functools.partial(_fwd_kernel, z_tot, train, with_res)
+    out_shape = [
+        jax.ShapeDtypeStruct((n, H), jnp.float32),
+        jax.ShapeDtypeStruct((n, mem_dim), jnp.float32),
+    ]
+    if with_res:
+        out_shape += [
             jax.ShapeDtypeStruct((t, n, H), jnp.float32),
             jax.ShapeDtypeStruct((t, n, H), jnp.float32),
             jax.ShapeDtypeStruct((t, n, mem_dim), jnp.float32),
-        ),
+        ]
+    return pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shape),
         in_specs=_specs(2 + len(_W_NAMES)),
-        out_specs=tuple(_specs(5)),
+        out_specs=tuple(_specs(len(out_shape))),
         interpret=_interpret(),
     )(xp, masks, *[weights[nm] for nm in _W_NAMES])
 
@@ -329,7 +336,8 @@ def mfm_encode_pallas(xp, masks, weights, z_tot, train):
     (see :func:`make_dropout_masks`; any (1,1,1) array when not
     training); weights dict (see _W_NAMES; biases shaped (1, d)).
     Returns (h_last, mem_last)."""
-    h_last, mem_last, _, _, _ = _fwd_call(xp, masks, weights, z_tot, train)
+    h_last, mem_last = _fwd_call(xp, masks, weights, z_tot, train,
+                                 with_res=False)
     return h_last, mem_last
 
 
@@ -350,12 +358,14 @@ def _encode_bwd(z_tot, train, res, grads):
 mfm_encode_pallas.defvjp(_encode_fwd, _encode_bwd)
 
 
-def encode_fits(t, n, H, mem_dim, att_in, widths) -> bool:
+def encode_fits(t, n, H, mem_dim, att_in, widths, mask_words=0) -> bool:
+    """``mask_words``: t*n*sum(site sizes) when train-mode dropout masks
+    ride along, 0 otherwise (eval or all-zero rates)."""
     words = (
         2 * t * n * 4 * H          # xp + dxp
         + 2 * t * n * H            # allh, allc
         + t * n * mem_dim
-        + t * n * 4 * 256          # masks upper bound
+        + mask_words
         + 2 * (4 * H * H + sum(widths))  # weights + grads
         + 8 * n * max(H, att_in)   # step temporaries
     )

@@ -159,3 +159,26 @@ class TestTrainModeBitwiseParity:
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        rtol=2e-4, atol=1e-5)
+
+
+class TestDropoutActiveGrads:
+    def test_grads_match_scan_with_dropout(self, force_pallas):
+        """The masked backward paths (m1/m2/m3/m4 placement on
+        dr1/dr2/dr3 in _bwd_kernel) must match the scan path — masks
+        come from the same threefry stream, so gradients agree."""
+        cfg = CFG.replace(att1_drop=0.3, att2_drop=0.2,
+                          gamma1_drop=0.25, gamma2_drop=0.15)
+        params = mfm_mod.mfm_init(jax.random.PRNGKey(0), cfg)
+        loss_fn = make_loss_fn(mfm_mod.mfm_apply, cfg, "joint")
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 4, cfg.d_total))
+        y = jax.random.normal(jax.random.PRNGKey(2), (4,))
+        key = jax.random.PRNGKey(3)
+
+        def grads():
+            return jax.grad(lambda p: loss_fn(p, x, y, key)[0])(params)
+
+        g_p = _with_flag(grads, True)
+        g_s = _with_flag(grads, False)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-5)
