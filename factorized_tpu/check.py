@@ -101,10 +101,13 @@ def parse_jsonl(path, condition=None):
     reference's unfiltered text scrape); ``condition`` ('l'|'a'|'v')
     restricts to that missing-modality section's sub-dicts."""
     metrics = defaultdict(list)
+    # fscore maps to the BINARY weighted F1 to match what the text
+    # scrape extracts from the classification report's 'weighted avg'
+    # row (check.py:182-183); the 7-class rounded F1 gets its own key
     key_map = {
         "mae": "mae", "corr": "corr", "mult_acc": "mult_acc",
-        "mult_f_score": "fscore", "binary_accuracy": "acc",
-        "accuracy": "acc", "f1_weighted": "fscore",
+        "mult_f_score": "mult_fscore", "binary_accuracy": "acc",
+        "binary_f1": "fscore", "accuracy": "acc", "f1_weighted": "fscore",
     }
 
     def collect(d):
@@ -121,7 +124,7 @@ def parse_jsonl(path, condition=None):
             if rec.get("kind") != "final":
                 continue
             scalars = {k: v for k, v in rec.items()
-                       if not isinstance(v, dict)}
+                       if not isinstance(v, (dict, list))}
             if condition is None:
                 collect(scalars)
             for k, v in rec.items():
@@ -129,6 +132,11 @@ def parse_jsonl(path, condition=None):
                     if condition is not None and k != f"y_hat_no{condition}":
                         continue
                     collect(v)
+                elif isinstance(v, list) and condition is None:
+                    # multiseed runs store per_seed=[{...}, ...]
+                    for item in v:
+                        if isinstance(item, dict):
+                            collect(item)
     return metrics
 
 
@@ -161,7 +169,13 @@ def check_dir(directory, condition=None, out=print):
     # missing-modality aggregation: min over runs per condition
     # (check.py:99-110)
     for tag, rows in all_recon.items():
-        arr = np.asarray(rows)
+        if not rows:
+            continue
+        # a run killed mid-print can leave a short row; keep only rows
+        # of the most common length rather than crashing aggregation
+        lengths = [len(r) for r in rows]
+        want = max(set(lengths), key=lengths.count)
+        arr = np.asarray([r for r in rows if len(r) == want])
         if arr.size:
             out(tag, np.min(arr, axis=0))
             summary.setdefault("_recon_min", {})[tag] = np.min(

@@ -1,12 +1,15 @@
 """Device-resident batching: embedding lookup + modality concat inside
-jit (SURVEY.md §7 item 3 — replaces the reference's host-side frozen
-Keras ``Embedding.predict`` + numpy concat, ``mfm_mosi.py:105-124``).
+jit (SURVEY.md §7 item 3 — the device-side alternative to the
+reference's host-side frozen Keras ``Embedding.predict`` + numpy concat,
+``mfm_mosi.py:105-124``).
 
-For MOSI-scale data the host cost is small, but keeping the embedding
-matrix device-resident removes the (n, t, 300) embedded-text transfer
-per dataset load: only integer ids (n, t) and the small audio/visual
-features cross the host->device boundary, and the gather + concat fuse
-into the first consumer under jit.
+The host adapters (data/mosi.py) still assemble numpy arrays for the
+trainer interface; this module serves pipelines that want the embedding
+matrix device-resident so only integer ids (n, t) and the small
+audio/visual features cross the host->device boundary, with the gather
++ concat fusing into the first consumer under jit. The normalization
+helpers here are also the single implementation used by the host
+adapter (train-stat max-abs, ``mfm_mosi.py:94-103``).
 """
 
 from __future__ import annotations

@@ -196,12 +196,12 @@ def get_data(seqlength: int = SEQLENGTH, feature_selection: bool = True,
     cov_te, fac_te = sel(test)
 
     # facet max-abs normalization by train stats (mfm_mosi.py:94-103)
-    fac_max = np.max(np.max(np.abs(fac_tr), axis=0), axis=0)
-    fac_max[fac_max == 0] = 1
+    from factorized_tpu.data.batcher import compute_train_max
+
+    fac_max = compute_train_max(fac_tr)
     fac_tr, fac_va, fac_te = fac_tr / fac_max, fac_va / fac_max, fac_te / fac_max
     if normalize_covarep:
-        cov_max = np.max(np.max(np.abs(cov_tr), axis=0), axis=0)
-        cov_max[cov_max == 0] = 1
+        cov_max = compute_train_max(cov_tr)
         cov_tr, cov_va, cov_te = (cov_tr / cov_max, cov_va / cov_max,
                                   cov_te / cov_max)
 

@@ -72,14 +72,15 @@ def segment_average(feats, starts, ends):
         lib.segment_average(feats, feats.shape[0], feats.shape[1],
                             starts, ends, n_words, out)
         return out
-    # numpy fallback (cumulative-sum trick)
-    cum = np.concatenate([np.zeros((1, feats.shape[1]), np.float64),
-                          np.cumsum(feats, axis=0, dtype=np.float64)])
+    # numpy fallback: per-window means. (A cumsum trick would let one
+    # NaN frame poison every later window; the reference zeroes NaN
+    # only in the windows containing it, data_loader.py:93-100.)
+    avg = np.zeros((n_words, feats.shape[1]), np.float64)
     s = np.clip(starts, 0, feats.shape[0])
     e = np.clip(ends, 0, feats.shape[0])
-    cnt = np.maximum(e - s, 1)
-    avg = (cum[e] - cum[s]) / cnt[:, None]
-    avg[e <= s] = 0.0
+    for w in range(n_words):
+        if e[w] > s[w]:
+            avg[w] = feats[s[w]:e[w]].mean(0)
     avg[np.isnan(avg)] = 0.0
     avg[np.isneginf(avg)] = 0.0
     return avg.astype(np.float32)

@@ -33,8 +33,13 @@ class Predictor:
         self.params = params
         self.batch_size = batch_size
         name = model_type or cfg.model_type
-        if name not in ("mfm", "kl", "kl_ef", "missing"):
-            name = "mfm"
+        supported = ("mfm", "kl", "kl_ef", "missing",
+                     "m_a", "m_b", "m_c", "m_d")
+        if name not in supported:
+            raise ValueError(
+                f"Predictor supports the standard-return model types "
+                f"{supported}, got {name!r} (s2s/bm/mfn have different "
+                f"outputs - load them through their trainers)")
         _, apply_fn = get_model(name)
         self._name = name
 
@@ -57,8 +62,7 @@ class Predictor:
             meta = json.load(f)
         cfg = MFMConfig(**{k: v for k, v in meta["config"].items()
                            if k in MFMConfig.__dataclass_fields__})
-        init, _ = get_model(cfg.model_type if cfg.model_type in
-                            ("mfm", "kl", "kl_ef", "missing") else "mfm")
+        init, _ = get_model(cfg.model_type)
         template = init(jax.random.PRNGKey(0), cfg)
         state, _ = restore_checkpoint(path, target={"params": template})
         return cls(cfg, state["params"], **kw)
@@ -69,17 +73,19 @@ class Predictor:
         static (at most 2 compiled batch shapes ever)."""
         X = np.asarray(X, np.float32)
         n = X.shape[0]
+        if n == 0:
+            return np.zeros((0,), np.float32)
         outs = []
         B = self.batch_size
         for s in range(0, n, B):
             chunk = X[s:s + B]
             pad = B - chunk.shape[0]
-            if pad and s > 0:  # only pad non-first partial batches
+            if pad:  # ALWAYS pad partial batches -> one compiled shape
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
             xt = jnp.asarray(chunk.swapaxes(0, 1))
             y = np.asarray(self._fwd(self.params, xt))
-            outs.append(y[: B - pad] if pad and s > 0 else y)
+            outs.append(y[: B - pad] if pad else y)
         return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
     def probe(self, X, reps: int = 10):
@@ -112,24 +118,28 @@ def serve_http(predictor: Predictor, host: str = "127.0.0.1",
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
+            # compute the full response BEFORE sending any status, so an
+            # error can still produce a clean 400 (and a client
+            # disconnect mid-write cannot trigger a second status line)
             try:
                 payload = json.loads(self.rfile.read(length))
                 x = np.asarray(payload["x"], np.float32)
                 if x.ndim == 2:
                     x = x[None]
                 y = predictor.predict(x)
+                status = 200
                 body = json.dumps({"y": np.asarray(y).tolist()}).encode()
-                self.send_response(200)
+            except Exception as e:  # noqa: BLE001 - report to client
+                status = 400
+                body = json.dumps({"error": str(e)}).encode()
+            try:
+                self.send_response(status)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            except Exception as e:  # noqa: BLE001 - report to client
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_response(400)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; nothing sane to send
 
         def log_message(self, *a):
             pass
