@@ -205,14 +205,38 @@ def parse_text_log_multitrait(path):
     return {k: np.asarray(v) for k, v in rows.items() if v}
 
 
+def parse_jsonl_multitrait(path):
+    """Multi-trait metrics from RunLogger JSONL: 'final' records whose
+    mae/corr/mult_acc values are per-trait LISTS."""
+    rows = {"mae": [], "corr": [], "mult_acc": []}
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("kind") != "final":
+                continue
+            for k in rows:
+                v = rec.get(k)
+                if isinstance(v, list) and v:
+                    rows[k].append([float(x) for x in v])
+    return {k: np.asarray(v) for k, v in rows.items() if v}
+
+
 def best_multitrait(directory, out=print):
     """Per-trait bests across a directory of multi-trait logs:
-    min mae / max corr / max mult_acc per trait (``check.py:150-159``)."""
+    min mae / max corr / max mult_acc per trait (``check.py:150-159``).
+    Reads both reference-format .txt logs and our JSONL records."""
     agg = {}
     for name in sorted(os.listdir(directory)):
-        if not (name.endswith(".txt") or name.endswith(".log")):
+        path = os.path.join(directory, name)
+        if name.endswith(".jsonl"):
+            rows = parse_jsonl_multitrait(path)
+        elif name.endswith(".txt") or name.endswith(".log"):
+            rows = parse_text_log_multitrait(path)
+        else:
             continue
-        rows = parse_text_log_multitrait(os.path.join(directory, name))
         for k, arr in rows.items():
             agg.setdefault(k, []).append(arr)
     result = {}

@@ -137,14 +137,17 @@ def run_dataset(args):
                 kw.update(binary_threshold=info["threshold"],
                           threshold_mode=info["mode"])
             res = train_mfm_multiseed(*data, cfg, **kw)
-        elif args.resume and cfg.model_type in ("mfm", "kl") and not (
-                cfg.missing or cfg.zeros):
+        elif args.resume and cfg.model_type in ("mfm", "kl", "kl_ef") \
+                and not (cfg.missing or cfg.zeros):
             kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
-                      resume_from=args.resume)
+                      resume_from=args.resume,
+                      include_remainder=info.get("include_remainder", False))
             if info["threshold"] is not None:
                 kw.update(binary_threshold=info["threshold"],
                           threshold_mode=info["mode"])
-            res = trainers.train_mfm(*data, cfg, **kw)
+            train = (trainers.train_beta_vae if cfg.model_type == "kl_ef"
+                     else trainers.train_mfm)
+            res = train(*data, cfg, **kw)
         else:
             res = dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
                                    seed=args.seed + trial)
@@ -159,7 +162,8 @@ def run_dataset(args):
                 meta_cfg["_resume_best_valid"] = res["best_valid"]
             save_checkpoint(path, res["params"],
                             opt_state=res.get("opt_state"),
-                            step=cfg.num_epochs, config=meta_cfg)
+                            step=res.get("step", cfg.num_epochs),
+                            config=meta_cfg)
             logger.text(f"checkpoint saved to {path}")
         logger.close()
         trial += 1
@@ -289,10 +293,55 @@ def run_test_attention(args):
     return 0
 
 
-def run_check(args):
-    from factorized_tpu.check import check_dir
+def run_multitrait(args):
+    """POM/IEMOCAP-style multi-trait regression (present in the
+    reference only as check.py's aggregation modes)."""
+    from factorized_tpu.data import multitrait
 
-    check_dir(args.dir, condition=args.condition)
+    data = multitrait.get_data(20, data_root=args.data_root,
+                               style=args.style)
+    base = (MFMConfig.from_json(args.config) if args.config
+            else MFMConfig(seqlength=20))
+    rng = random.Random(args.seed)
+    trial = 0
+    while True:
+        if args.mode == "search":
+            cfg = sample_search_config("mmmo", rng, model_type=args.type)
+        elif args.mode == "best":
+            cfg = best_acc_mosi_config(model_type=args.type)
+        else:
+            cfg = base.replace(model_type=args.type)
+        cfg = cfg.replace(input_dims=multitrait.INPUT_DIMS,
+                          task="regression")
+        if args.epochs:
+            cfg = cfg.replace(num_epochs=args.epochs)
+        if args.batchsize:
+            cfg = cfg.replace(batchsize=args.batchsize)
+        logger = RunLogger(args.out, run_id=f"{args.style}_{trial}")
+        logger.record("config", style=args.style, **cfg.to_dict())
+        res = trainers.train_mfm_multitrait(
+            *data, cfg, logger=logger, seed=args.seed + trial, lr=args.lr)
+        if args.save_ckpt and isinstance(res.get("params"), dict):
+            from factorized_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(f"{args.out}/ckpt_{args.style}_{trial}",
+                            res["params"], opt_state=res.get("opt_state"),
+                            step=res.get("step", cfg.num_epochs),
+                            config=cfg.to_dict())
+        logger.close()
+        trial += 1
+        if args.mode != "search" or (args.trials and trial >= args.trials):
+            break
+    return 0
+
+
+def run_check(args):
+    from factorized_tpu.check import best_multitrait, check_dir
+
+    if args.multitrait:
+        best_multitrait(args.dir)
+    else:
+        check_dir(args.dir, condition=args.condition)
     return 0
 
 
@@ -364,9 +413,17 @@ def build_parser():
     sp.add_argument("--port", type=int, default=8787)
     sp.set_defaults(func=run_serve)
 
+    sp = sub.add_parser("multitrait",
+                        help="POM/IEMOCAP-style multi-trait regression")
+    common(sp)
+    sp.add_argument("--style", default="pom", choices=["pom", "iemocap"])
+    sp.set_defaults(func=run_multitrait)
+
     sp = sub.add_parser("check")
     sp.add_argument("--dir", default="runs")
     sp.add_argument("--condition", default=None, choices=["l", "a", "v"])
+    sp.add_argument("--multitrait", action="store_true",
+                    help="per-trait aggregation (reference pom/ie2 modes)")
     sp.set_defaults(func=run_check)
 
     return p

@@ -13,5 +13,5 @@ are unavailable outside that environment. Every adapter here:
    experiment, test and benchmark runs anywhere.
 """
 
-from factorized_tpu.data import mosi, moud, youtube, mmmo  # noqa: F401
+from factorized_tpu.data import mosi, moud, multitrait, youtube, mmmo  # noqa: F401
 from factorized_tpu.data.synthetic import synthetic_word_level  # noqa: F401

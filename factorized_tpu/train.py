@@ -61,7 +61,8 @@ def make_batches(X, y, batchsize: int, include_remainder: bool):
             f"batchsize {batchsize} exceeds the {n} training samples - "
             f"no full batch can be formed")
     Xb = X[:, : nb * batchsize].reshape(t, nb, batchsize, d).transpose(1, 0, 2, 3)
-    yb = y[: nb * batchsize].reshape(nb, batchsize)
+    # y may be (n,) scalar labels or (n, n_traits) multi-trait vectors
+    yb = y[: nb * batchsize].reshape(nb, batchsize, *y.shape[1:])
     rem = None
     if include_remainder and n % batchsize:
         rem = (X[:, nb * batchsize :], y[nb * batchsize :])
@@ -78,6 +79,9 @@ def _split_x(x, input_dims):
 def _disc(y_hat, y, task: str):
     if task == "classification":
         return cross_entropy_loss(y_hat, y)
+    if y_hat.ndim == y.ndim:
+        # multi-trait regression: vector labels, no squeeze
+        return l1_loss(y_hat, y)
     return l1_loss(jnp.squeeze(y_hat, axis=1), y)
 
 

@@ -129,11 +129,13 @@ def _score(logger, y_hat, y_test, cfg, binary_threshold, threshold_mode):
 
 
 def _std_predict(apply_fn, cfg):
+    squeeze = cfg.task == "regression" and cfg.output_dim == 1
+
     @jax.jit
     def predict(params, x, key):
         decoded, _, _ = apply_fn(params, x, cfg, key=key, train=False)
         y_hat = decoded[3]
-        return jnp.squeeze(y_hat, 1) if cfg.task == "regression" else y_hat
+        return jnp.squeeze(y_hat, 1) if squeeze else y_hat
 
     return predict
 
@@ -218,9 +220,10 @@ def train_mfm(
     logger.text("scoring y_hat")
     metrics = _score(logger, y_hat, yte_l, cfg, binary_threshold, threshold_mode)
     logger.record("final", **metrics)
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
     return {"metrics": metrics, "params": best_params,
             "opt_state": opt_state, "history": history,
-            "best_valid": keeper.best}
+            "best_valid": keeper.best, "step": step}
 
 
 def train_beta_vae(
@@ -231,11 +234,19 @@ def train_beta_vae(
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
     include_remainder: bool = False,
+    resume_from: Optional[str] = None,
 ):
     """Two-stage schedule (``mfm_mosi.py:278-281,338-360``): stage 1
     trains gen+mmd for num_epochs, stage 2 disc+mmd for num_epochs;
     the model is MFM_KL_EF and every epoch's params are kept (the
-    reference saves unconditionally: ``if True:`` at 342)."""
+    reference saves unconditionally: ``if True:`` at 342). One
+    scheduler spans BOTH stages — the reference constructs its
+    ReduceLROnPlateau once before the stage loops (``mfm_mosi.py:253``),
+    so lr decays carry from stage 1 into stage 2.
+
+    ``resume_from``: checkpoint dir saved with opt_state; its recorded
+    step counts TOTAL epochs across both stages (stage 1 = epochs
+    [0, num_epochs), stage 2 = [num_epochs, 2*num_epochs))."""
     logger = logger or RunLogger()
     Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
         X_train, y_train, X_valid, y_valid, X_test, y_test, seed
@@ -248,28 +259,52 @@ def train_beta_vae(
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
 
+    start_step = 0
+    resume_lr = None
+    if resume_from:
+        from factorized_tpu.utils.checkpoint import restore_checkpoint
+
+        state, meta = restore_checkpoint(
+            resume_from, target={"params": params, "opt_state": opt_state}
+        )
+        params, opt_state = state["params"], state["opt_state"]
+        start_step = meta.get("step", 0)
+        resume_lr = meta.get("config", {}).get("_resume_lr")
+        logger.text(f"resumed from {resume_from} at total epoch {start_step}"
+                    + (f" lr={resume_lr}" if resume_lr else ""))
+
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize,
                                include_remainder)
     yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
 
     history = []
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
     for stage in (1, 2):
+        done = min(max(start_step - (stage - 1) * cfg.num_epochs, 0),
+                   cfg.num_epochs)
+        n_epochs = cfg.num_epochs - done
+        if n_epochs <= 0:
+            continue
         program = TrainProgram(apply_fn, cfg, "beta_vae", opt, stage=stage)
-        scheduler = ReduceLROnPlateau(lr)
         keeper = BestKeeper("min")
         params, opt_state, h = _loop(
             program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-            cfg.num_epochs, scheduler, keeper, logger, jax.random.fold_in(key, stage),
+            n_epochs, scheduler, keeper, logger,
+            jax.random.fold_in(jax.random.fold_in(key, stage), done),
             save_always=True,
         )
         history.extend({**e, "stage": stage} for e in h)
+        if h and h[-1].get("diverged"):
+            break
 
     predict = _std_predict(apply_fn, cfg)
     y_hat = np.asarray(predict(params, Xte, jax.random.PRNGKey(0)))
     logger.text("scoring y_hat")
     metrics = _score(logger, y_hat, yte_l, cfg, binary_threshold, threshold_mode)
     logger.record("final", **metrics)
-    return {"metrics": metrics, "params": params, "history": history}
+    step = start_step + sum(1 for e in history if not e.get("diverged"))
+    return {"metrics": metrics, "params": params, "opt_state": opt_state,
+            "history": history, "step": step}
 
 
 def train_mfm_missing(
@@ -542,6 +577,60 @@ def train_mfm_acc(
     logger.record("final", **metrics)
     return {"metrics": metrics, "params": best_params, "history": history,
             "best_valid": keeper.best}
+
+
+def train_mfm_multitrait(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
+    lr: Optional[float] = None,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+):
+    """Multi-trait regression — the reference's POM/IEMOCAP-style
+    experiments, which exist there only as ``check.py``'s multi-trait
+    log-aggregation modes (``check.py:128-164,226-250``; the training
+    scripts were never committed). One MFM with ``output_dim ==
+    n_traits``, joint loss with the L1 disc term over the trait vector,
+    and per-trait scoring printed in the bracketed ``mae: [..]`` format
+    those check modes parse."""
+    from factorized_tpu.utils.metrics import score_multitrait
+
+    logger = logger or RunLogger()
+    y_train = np.asarray(y_train, np.float32)
+    n_traits = y_train.shape[1]
+    cfg = cfg.replace(task="regression", output_dim=n_traits)
+    Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
+        X_train, y_train, X_valid, y_valid, X_test, y_test, seed
+    )
+    init, apply_fn = get_model(cfg.model_type if cfg.model_type in
+                               ("mfm", "kl") else "mfm")
+    key = jax.random.PRNGKey(seed)
+    key, ik = jax.random.split(key)
+    params = init(ik, cfg)
+    lr = 1e-3 if lr is None else lr
+    opt = make_optimizer("adam", lr, cfg.momentum)
+    opt_state = opt.init(params)
+
+    program = TrainProgram(apply_fn, cfg, "joint", opt)
+    Xb, yb, rem = make_batches(Xtr, ytr.astype(np.float32), cfg.batchsize,
+                               False)
+    yv_l = np.asarray(yv, np.float32)
+    yte_l = np.asarray(yte, np.float32)
+
+    scheduler = ReduceLROnPlateau(lr)
+    keeper = BestKeeper("min")
+    params, opt_state, history = _loop(
+        program, params, opt_state, Xb, yb, rem, Xv, yv_l,
+        cfg.num_epochs, scheduler, keeper, logger, key
+    )
+    best_params = keeper.best_params if keeper.best_params is not None else params
+    predict = _std_predict(apply_fn, cfg)
+    y_hat = np.asarray(predict(best_params, Xte, jax.random.PRNGKey(0)))
+    logger.text("scoring y_hat")
+    metrics = score_multitrait(y_hat, yte_l)
+    logger.record("final", **metrics)
+    return {"metrics": metrics, "params": best_params,
+            "opt_state": opt_state, "history": history,
+            "best_valid": keeper.best, "step": len(history)}
 
 
 def train_predictor(

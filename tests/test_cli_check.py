@@ -169,6 +169,61 @@ mult_acc: [0.2, 0.5, 0.1]
         assert res["corr"] == [0.4, 0.5, 0.6]
         assert res["mult_acc"] == [0.3, 0.5, 0.4]
 
+    def test_jsonl_and_text_aggregate_together(self, tmp_path):
+        from factorized_tpu.check import best_multitrait
+
+        (tmp_path / "pom.txt").write_text("mae: [1.2, 0.9, 1.5]\n"
+                                          "corr: [0.3, 0.5, 0.2]\n")
+        recs = [
+            {"kind": "config", "style": "pom"},
+            {"kind": "final", "mae": [1.0, 1.1, 1.4],
+             "corr": [0.4, 0.4, 0.6], "mult_acc": [0.2, 0.5, 0.1]},
+        ]
+        (tmp_path / "pom_0.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in recs))
+        res = best_multitrait(str(tmp_path), out=lambda *a: None)
+        assert res["mae"] == [1.0, 0.9, 1.4]
+        assert res["corr"] == [0.4, 0.5, 0.6]
+        assert res["mult_acc"] == [0.2, 0.5, 0.1]
+
+    def test_dataset_shapes_and_styles(self):
+        from factorized_tpu.data import multitrait
+
+        for style, n_traits, side in (("pom", 17, "left"),
+                                      ("iemocap", 4, "right")):
+            Xtr, ytr, Xv, yv, Xte, yte = multitrait.get_data(6, style=style)
+            assert Xtr.shape[1:] == (6, 410)
+            assert ytr.shape == (Xtr.shape[0], n_traits)
+            # 70/10/20 video-order split of 300 single-segment videos
+            assert (Xtr.shape[0], Xv.shape[0], Xte.shape[0]) == (210, 30, 60)
+        # POM scale 1..7, IEMOCAP 0..3
+        assert ytr.min() >= 0.0 and ytr.max() <= 3.0
+
+    def test_cli_multitrait_end_to_end(self, tmp_path, capsys):
+        from factorized_tpu.check import best_multitrait
+        from factorized_tpu.cli import main
+
+        cfg = {
+            "seqlength": 4, "h_dims": [8, 8, 8], "memsize": 8,
+            "zy_size": 8, "zl_size": 8, "za_size": 8, "zv_size": 8,
+            "fy_size": 8, "fl_size": 8, "fa_size": 8, "fv_size": 8,
+            "att1_shape": 8, "att2_shape": 8, "gamma1_shape": 8,
+            "gamma2_shape": 8, "out_shape": 8,
+            "batchsize": 64, "num_epochs": 1,
+        }
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(json.dumps(cfg))
+        rc = main(["multitrait", "--style", "iemocap", "--config",
+                   str(cfg_path), "--mode", "single",
+                   "--out", str(tmp_path / "runs")])
+        assert rc == 0
+        outp = capsys.readouterr().out
+        assert "mae: [" in outp  # the bracketed reference format
+        # the aggregator consumes the CLI's JSONL
+        res = best_multitrait(str(tmp_path / "runs"), out=lambda *a: None)
+        assert len(res["mae"]) == 4
+        assert all(np.isfinite(v) for v in res["mae"])
+
 
 class TestCLIVariants:
     def _cfg_path(self, tmp_path):

@@ -125,3 +125,50 @@ class TestResume:
         # resumed run does only the remaining 2 epochs
         assert len(res2["history"]) == 2
         assert np.isfinite(res2["metrics"]["mae"])
+        assert res2["step"] == 4
+
+    def test_resume_beta_vae_stages(self, tmp_path):
+        """Two-stage resume: a checkpoint with total-epoch step lands in
+        the right stage with the right number of epochs left."""
+        from factorized_tpu import trainers
+        from factorized_tpu.config import MFMConfig
+        from factorized_tpu.utils.checkpoint import save_checkpoint
+        from factorized_tpu.utils.logging import RunLogger
+
+        rng = np.random.default_rng(0)
+        dims = (12, 4, 6)
+        d = sum(dims)
+        data = []
+        for n in (48, 16, 24):
+            X = rng.normal(size=(n, 6, d)).astype(np.float32)
+            y = (X.mean((1, 2)) * 3).astype(np.float32)
+            data.extend([X, y])
+        cfg = MFMConfig(input_dims=list(dims), h_dims=[8, 8, 8], memsize=8,
+                        zy_size=8, zl_size=8, za_size=8, zv_size=8,
+                        fy_size=8, fl_size=8, fa_size=8, fv_size=8,
+                        att1_shape=8, att2_shape=8, gamma1_shape=8,
+                        gamma2_shape=8, out_shape=8, seqlength=6,
+                        batchsize=16, num_epochs=2)
+        quiet = RunLogger(echo=False)
+        res1 = trainers.train_beta_vae(*data, cfg, logger=quiet)
+        # full run: 2 stages x 2 epochs
+        assert res1["step"] == 4 and len(res1["history"]) == 4
+
+        # resume mid-stage-1 (1 of 4 total epochs done): 1 epoch of
+        # stage 1 then 2 of stage 2 remain
+        ck = str(tmp_path / "ck1")
+        save_checkpoint(ck, res1["params"], opt_state=res1["opt_state"],
+                        step=1)
+        res2 = trainers.train_beta_vae(*data, cfg, logger=quiet,
+                                       resume_from=ck)
+        assert [h["stage"] for h in res2["history"]] == [1, 2, 2]
+        assert res2["step"] == 4
+
+        # resume into stage 2 (3 of 4 done): exactly 1 stage-2 epoch
+        ck2 = str(tmp_path / "ck2")
+        save_checkpoint(ck2, res1["params"], opt_state=res1["opt_state"],
+                        step=3)
+        res3 = trainers.train_beta_vae(*data, cfg, logger=quiet,
+                                       resume_from=ck2)
+        assert [h["stage"] for h in res3["history"]] == [2]
+        assert res3["step"] == 4
