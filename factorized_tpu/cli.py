@@ -228,6 +228,10 @@ def run_test_mosi(args):
     data = load_dataset("mosi", 20, args.data_root)
     _, _, _, _, X_test, y_test = data
     predictor = Predictor.from_checkpoint(args.checkpoint)
+    if args.autotune:
+        tuned = predictor.autotune(X_test)
+        print("autotuned batch sizes:", json.dumps(tuned),
+              "-> using", predictor.batch_size)
     y_hat = predictor.predict(X_test)
     if predictor.cfg.task == "regression":
         score_regression(y_hat, y_test)
@@ -273,9 +277,19 @@ def run_predictor(args):
 
 
 def run_serve(args):
+    import numpy as np
+
     from factorized_tpu.serve import Predictor, serve_http
 
     predictor = Predictor.from_checkpoint(args.checkpoint)
+    if args.autotune:
+        # tune on synthetic traffic shaped like the model's input
+        d = sum(predictor.cfg.input_dims)
+        X = np.random.default_rng(0).normal(
+            size=(1024, predictor.cfg.seqlength, d)).astype(np.float32)
+        tuned = predictor.autotune(X)
+        print("autotuned batch sizes:", json.dumps(tuned),
+              "-> using", predictor.batch_size)
     serve_http(predictor, args.host, args.port)
     return 0
 
@@ -389,6 +403,8 @@ def build_parser():
     sp = sub.add_parser("test_mosi")
     common(sp)
     sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--autotune", action="store_true",
+                    help="pick the serving batch size by throughput")
     sp.set_defaults(func=run_test_mosi)
 
     sp = sub.add_parser("test_attention")
@@ -411,6 +427,9 @@ def build_parser():
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8787)
+    sp.add_argument("--autotune", action="store_true",
+                    help="pick the serving batch size by throughput "
+                         "before accepting traffic")
     sp.set_defaults(func=run_serve)
 
     sp = sub.add_parser("multitrait",

@@ -88,6 +88,32 @@ class Predictor:
             outs.append(y[: B - pad] if pad else y)
         return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
+    def autotune(self, X, candidates=(64, 128, 256, 512, 1024),
+                 reps: int = 3):
+        """Pick the serving batch size that maximizes end-to-end
+        throughput on this host/device for ``X``-shaped traffic.
+        Compiles one program per candidate (persistent compilation cache
+        makes re-tuning cheap), measures ``reps`` timed full passes
+        each, sets ``self.batch_size`` to the winner, and returns
+        ``{batch_size: samples/s}``. Throughput includes host<->device
+        transfer — what a serving caller actually observes."""
+        X = np.asarray(X, np.float32)
+        n = X.shape[0]
+        results = {}
+        for B in candidates:
+            if B > 2 * n and results:
+                continue  # mostly-padding batches: strictly worse
+            self.batch_size = int(B)
+            self.predict(X)  # warmup/compile at this shape
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                self.predict(X)
+                times.append(time.perf_counter() - t0)
+            results[int(B)] = float(n / np.median(times))
+        self.batch_size = max(results, key=results.get)
+        return results
+
     def probe(self, X, reps: int = 10):
         """Latency probe (the reference's ``test_mosi.py:335-342``
         upgraded): median end-to-end seconds for one full forward."""

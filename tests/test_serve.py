@@ -57,6 +57,20 @@ class TestPredictor:
         np.testing.assert_allclose(y_batched, y_single, rtol=1e-4,
                                    atol=1e-5)
 
+    def test_autotune_picks_a_candidate(self, trained_ckpt):
+        p = Predictor.from_checkpoint(trained_ckpt)
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(48, p.cfg.seqlength, p.cfg.d_total)).astype(
+            np.float32)
+        results = p.autotune(X, candidates=(8, 16, 64, 512), reps=2)
+        # 512 > 2*48 is skipped once a smaller candidate was measured
+        assert set(results) == {8, 16, 64}
+        assert p.batch_size == max(results, key=results.get)
+        assert all(v > 0 for v in results.values())
+        # predictions unchanged by the tuned batch size
+        y = p.predict(X)
+        assert y.shape == (48,) and np.isfinite(y).all()
+
     def test_probe(self, trained_ckpt):
         p = Predictor.from_checkpoint(trained_ckpt)
         rng = np.random.default_rng(2)
