@@ -241,6 +241,8 @@ def run_test_mosi(args):
         score_classification(y_hat, (y_test >= 0).astype(np.int64))
     probe = predictor.probe(X_test)
     print("inference probe:", json.dumps(probe))
+    dev = predictor.device_latency(X_test)
+    print("on-device latency:", json.dumps(dev))
     return 0
 
 

@@ -131,6 +131,46 @@ class Predictor:
                                       / np.median(times)),
         }
 
+    def device_latency(self, X, iters: int = 100):
+        """Pure ON-DEVICE per-forward latency, excluding host<->device
+        transfer and dispatch RTT (through the axon tunnel those
+        dominate ``probe``): one jitted program chains ``iters``
+        forwards with a data dependency (so XLA cannot elide them),
+        runs once after warmup, and the wall time divides by
+        ``iters``."""
+        X = np.asarray(X, np.float32)[: self.batch_size]
+        pad = self.batch_size - X.shape[0]
+        if pad > 0:
+            X = np.concatenate(
+                [X, np.zeros((pad,) + X.shape[1:], np.float32)])
+        xt = jax.device_put(jnp.asarray(X.swapaxes(0, 1)))
+        params = jax.device_put(self.params)
+        fwd = self._fwd
+
+        @jax.jit
+        def chained(params, x):
+            def body(i, carry):
+                # carry feeds the input at below-float32-epsilon scale:
+                # a real data dependency (no hoisting/DCE), no effect on
+                # the computed values
+                y = fwd(params, x + 1e-30 * carry.mean())
+                return (y if y.ndim == 1 else y[:, 0]).astype(jnp.float32)
+
+            y0 = jnp.zeros((x.shape[1],), jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, y0)
+
+        float(np.asarray(chained(params, xt))[0])  # warmup/compile
+        t0 = time.perf_counter()
+        out = chained(params, xt)
+        np.asarray(out)  # materialize through the tunnel
+        total = time.perf_counter() - t0
+        return {
+            "batch": int(self.batch_size),
+            "iters": int(iters),
+            "latency_s": total / iters,
+            "throughput_per_s": float(self.batch_size * iters / total),
+        }
+
 
 def serve_http(predictor: Predictor, host: str = "127.0.0.1",
                port: int = 8787):

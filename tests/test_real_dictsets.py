@@ -112,3 +112,27 @@ class TestMoudCsvOrder:
             seqlength=4, data_root=str(tmp_path))
         # 62 videos reversed; split 48/10/rest (mfm_moud.py:90-107)
         assert len(y_tr) == 48 and len(y_v) == 10 and len(y_te) == 4
+
+
+class TestRealMultitrait:
+    def test_trait_csv_and_vector_labels(self, tmp_path):
+        from factorized_tpu.data import multitrait
+
+        rng = np.random.default_rng(4)
+        text, audio, video = _make_modality_dicts(rng, 30, 1)
+        _dump_dicts(tmp_path, (text, audio, video),
+                    ("text_dict_s.p", "audio_dict_s.p", "video_dict_s.p"))
+        n_traits = len(multitrait.POM_TRAITS)
+        rows = ["video," + ",".join(multitrait.POM_TRAITS)]
+        for vid in text:
+            vals = rng.uniform(1, 7, n_traits)
+            rows.append(vid + ".mp4," + ",".join(f"{v:.2f}" for v in vals))
+        (tmp_path / "trait_annotations.csv").write_text("\n".join(rows))
+
+        X_tr, y_tr, X_v, y_v, X_te, y_te = multitrait.get_data(
+            seqlength=5, data_root=str(tmp_path), style="pom")
+        assert X_tr.shape[1:] == (5, 410)
+        assert y_tr.shape == (21, n_traits)  # 70% of 30 videos
+        assert (X_v.shape[0], X_te.shape[0]) == (3, 6)
+        assert y_tr.min() >= 1.0 and y_tr.max() <= 7.0
+        assert np.abs(X_tr).max() <= 255.0

@@ -71,6 +71,16 @@ class TestPredictor:
         y = p.predict(X)
         assert y.shape == (48,) and np.isfinite(y).all()
 
+    def test_device_latency(self, trained_ckpt):
+        p = Predictor.from_checkpoint(trained_ckpt)
+        p.batch_size = 16
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(10, p.cfg.seqlength, p.cfg.d_total)).astype(
+            np.float32)
+        res = p.device_latency(X, iters=5)
+        assert res["batch"] == 16 and res["iters"] == 5
+        assert res["latency_s"] > 0 and res["throughput_per_s"] > 0
+
     def test_probe(self, trained_ckpt):
         p = Predictor.from_checkpoint(trained_ckpt)
         rng = np.random.default_rng(2)
