@@ -249,13 +249,21 @@ def run_test_mosi(args):
 def run_predictor(args):
     """EFLSTM / standalone-MFN / SelfAttention baseline trainers
     (``test_mosi.py`` searches, ``test_attention.py``)."""
+    from factorized_tpu.config import best_mfn_mosi_config
+
     data = load_dataset(args.dataset, 20, args.data_root)
     info = DATASETS[args.dataset]
     rng = random.Random(args.seed)
     trial = 0
     while True:
-        cfg = (sample_search_config(args.dataset, rng)
-               if args.mode == "search" else best_acc_mosi_config())
+        if args.mode == "search":
+            cfg = sample_search_config(args.dataset, rng)
+        elif args.mode == "best" and args.kind == "mfn":
+            # the recorded best MFN-baseline configs
+            # (test_mosi.py:537-547); lr rides the config (0.01 / 0.005)
+            cfg = best_mfn_mosi_config(args.best)
+        else:
+            cfg = best_acc_mosi_config()
         cfg = cfg.replace(input_dims=info["input_dims"],
                           output_dim=info["output_dim"], task=info["task"])
         if args.epochs:
@@ -263,11 +271,11 @@ def run_predictor(args):
         if args.batchsize:
             cfg = cfg.replace(batchsize=args.batchsize)
         logger = RunLogger(args.out, run_id=f"{args.kind}_{trial}")
-        logger.record("config", kind=args.kind, **cfg.to_dict())
+        logger.record("config", predictor_kind=args.kind, **cfg.to_dict())
         trainers.train_predictor(
             *data, args.kind, cfg, h=args.hidden, drop=args.drop,
-            lr=args.lr or 0.01, optimizer=args.optimizer, logger=logger,
-            seed=args.seed + trial,
+            lr=args.lr or cfg.lr or 0.01, optimizer=args.optimizer,
+            logger=logger, seed=args.seed + trial,
             binary_threshold=info["threshold"] or 0.0,
             threshold_mode=info["mode"],
         )
@@ -422,7 +430,11 @@ def build_parser():
     sp.add_argument("--dataset", default="mosi", choices=list(DATASETS))
     sp.add_argument("--hidden", type=int, default=128)
     sp.add_argument("--drop", type=float, default=0.5)
-    sp.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    sp.add_argument("--optimizer", default="adam", choices=["adam", "sgd"],
+                    help="reference's acc variant trained with "
+                         "SGD+momentum (test_mosi_acc.py:285)")
+    sp.add_argument("--best", default="mae", choices=["mae", "acc"],
+                    help="which pinned MFN config --mode best uses")
     sp.set_defaults(func=run_predictor)
 
     sp = sub.add_parser("serve", help="JSON-over-HTTP inference endpoint")

@@ -267,3 +267,22 @@ class TestCLIVariants:
         assert acc.h_dims == [64, 8, 80] and acc.memsize == 400
         with pytest.raises(ValueError):
             best_mfn_mosi_config("nope")
+
+    def test_cli_predictor_best_mfn(self, tmp_path):
+        """The predictor command with --mode best routes to the pinned
+        MFN configs (regression: logger.record kw collision crashed
+        this path)."""
+        from factorized_tpu.cli import main
+
+        rc = main(["predictor", "--kind", "mfn", "--mode", "best",
+                   "--best", "mae", "--epochs", "1", "--batchsize", "128",
+                   "--out", str(tmp_path / "runs")])
+        assert rc == 0
+        runs = [f for f in os.listdir(tmp_path / "runs")
+                if f.endswith(".jsonl")]
+        assert runs
+        cfgs = [json.loads(line) for line in
+                open(tmp_path / "runs" / runs[0])]
+        rec = next(r for r in cfgs if r["kind"] == "config")
+        assert rec["predictor_kind"] == "mfn"
+        assert rec["h_dims"] == [88, 48, 16] and rec["memsize"] == 128
