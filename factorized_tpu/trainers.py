@@ -630,7 +630,8 @@ def train_mfm_multitrait(
     logger.record("final", **metrics)
     return {"metrics": metrics, "params": best_params,
             "opt_state": opt_state, "history": history,
-            "best_valid": keeper.best, "step": len(history)}
+            "best_valid": keeper.best,
+            "step": sum(1 for e in history if not e.get("diverged"))}
 
 
 def train_predictor(
