@@ -7,12 +7,19 @@ train step performs (encode wh block-diag, xproj gate-major repack,
 decoder wx/wsum block-diags, output-projection pack) inside one XLA
 program, so tunnel RTT amortizes away.
 
+The probe also measures an EMPTY chained loop: the per-iteration
+fori_loop dispatch floor must be subtracted or the result is pure
+loop latency.
+
 Measured 2026-08-16 on v5e (best-acc config, batch 32, t=20):
-0.175 ms per step = ~10.6% of the 1.64 ms train step. Round-2 design
-note: training directly in packed space is EXACTLY equivalent if
+raw 0.175 ms/iter MINUS the 0.145 ms/iter empty-loop floor =
+~0.03 ms/step true assembly+scatter cost = ~1.8% of the 1.64 ms train
+step. CONCLUSION: fused-parameter-space training is NOT worth its
+refactor; the sequential-loop dispatch floor dominates, consistent
+with every other micro-lever measuring neutral. (If it were ever
+revisited: training in packed space is exactly equivalent when
 packed-matrix grads are masked to the block structure before the Adam
-moment update (Adam is elementwise; masked entries then keep zero
-moments and never move), so the lever is a pure win of ~0.17 ms/step.
+moment update — Adam is elementwise, masked entries keep zero moments.)
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -71,6 +78,11 @@ def chained(enc_, mfn_, dec_, xp_):
     _, acc = jax.lax.fori_loop(0, ITERS, body, (jnp.float32(0), jnp.float32(0)))
     return acc
 
+def empty(leaves):
+    enc_, _, _, _ = leaves
+    return (enc_[0]["wh"] * 1e-3).sum()
+
+
 args = (enc, mfn, dec, xp_in)
 args = jax.device_put(args)
 print("backend:", jax.default_backend())
@@ -81,5 +93,27 @@ best = min(
     (lambda s: (float(np.asarray(chained(*args))), time.perf_counter()-s)[1])(time.perf_counter())
     for _ in range(3)
 )
-print(f"assembly+scatter per step: {best/ITERS*1000:.4f} ms "
+print(f"raw chained loop: {best/ITERS*1000:.4f} ms/iter")
+
+g = jax.grad(empty)
+
+@jax.jit
+def floor_loop(enc_, mfn_, dec_, xp_):
+    def body(i, state):
+        bump, acc = state
+        e0 = dict(enc_[0]); e0["wh"] = e0["wh"] + bump
+        grads = g(([e0] + list(enc_[1:]), mfn_, dec_, xp_))
+        gs = grads[0][0]["wh"].mean()
+        return (gs * 1e-30, acc + gs)
+    _, acc = jax.lax.fori_loop(0, ITERS, body,
+                               (jnp.float32(0), jnp.float32(0)))
+    return acc
+
+float(np.asarray(floor_loop(*args)))
+floor = min(
+    (lambda s: (float(np.asarray(floor_loop(*args))), time.perf_counter()-s)[1])(time.perf_counter())
+    for _ in range(3)
+)
+print(f"empty-loop floor: {floor/ITERS*1000:.4f} ms/iter")
+print(f"assembly+scatter per step: {(best-floor)/ITERS*1000:.4f} ms "
       f"(train step is ~1.64 ms)")
