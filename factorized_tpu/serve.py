@@ -179,6 +179,24 @@ def serve_http(predictor: Predictor, host: str = "127.0.0.1",
     from http.server import BaseHTTPRequestHandler, HTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/health":
+                self.send_error(404)
+                return
+            body = json.dumps({
+                "status": "ok",
+                "model_type": predictor._name,
+                "task": predictor.cfg.task,
+                "seqlength": predictor.cfg.seqlength,
+                "d_total": sum(predictor.cfg.input_dims),
+                "batch_size": predictor.batch_size,
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             if self.path != "/predict":
                 self.send_error(404)

@@ -136,3 +136,25 @@ class TestRealMultitrait:
         assert (X_v.shape[0], X_te.shape[0]) == (3, 6)
         assert y_tr.min() >= 1.0 and y_tr.max() <= 7.0
         assert np.abs(X_tr).max() <= 255.0
+
+    def test_iemocap_style_right_pad(self, tmp_path):
+        from factorized_tpu.data import multitrait
+
+        rng = np.random.default_rng(5)
+        text, audio, video = _make_modality_dicts(rng, 20, 1)
+        _dump_dicts(tmp_path, (text, audio, video),
+                    ("text_dict_s.p", "audio_dict_s.p", "video_dict_s.p"))
+        n_traits = len(multitrait.IEMOCAP_TRAITS)
+        rows = ["video," + ",".join(multitrait.IEMOCAP_TRAITS)]
+        for vid in text:
+            vals = rng.uniform(0, 3, n_traits)
+            rows.append(vid + "," + ",".join(f"{v:.2f}" for v in vals))
+        (tmp_path / "trait_annotations.csv").write_text("\n".join(rows))
+
+        X_tr, y_tr, _, _, _, _ = multitrait.get_data(
+            seqlength=10, data_root=str(tmp_path), style="iemocap")
+        assert y_tr.shape[1] == n_traits
+        # right-padded (MOUD/YouTube side): segments are 2-6 words, so
+        # the TAIL rows of every 10-step sequence are zero
+        assert np.all(X_tr[:, -1, :] == 0.0)
+        assert not np.all(X_tr[:, 0, :] == 0.0)

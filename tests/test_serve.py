@@ -113,6 +113,13 @@ class TestPredictor:
                 time.sleep(0.25)
         assert len(body["y"]) == 2
         assert all(np.isfinite(v) for v in body["y"])
+        # health endpoint on the same server
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=5) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["model_type"] == "mfm"
+        assert health["seqlength"] == p.cfg.seqlength
 
 
 class TestResume:
