@@ -175,8 +175,17 @@ class Predictor:
 def serve_http(predictor: Predictor, host: str = "127.0.0.1",
                port: int = 8787):
     """Blocking JSON HTTP endpoint: POST /predict {"x": [[...t x d...]]}
-    -> {"y": [...]}."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    -> {"y": [...]}; GET /health -> model info.
+
+    Threaded server so a slow client can't stall other connections;
+    device access itself is serialized by a lock (one chip, one
+    compiled program — concurrency belongs in the batch dimension,
+    which ``Predictor.predict`` already pads/splits)."""
+    import threading
+
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    device_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
@@ -210,7 +219,8 @@ def serve_http(predictor: Predictor, host: str = "127.0.0.1",
                 x = np.asarray(payload["x"], np.float32)
                 if x.ndim == 2:
                     x = x[None]
-                y = predictor.predict(x)
+                with device_lock:
+                    y = predictor.predict(x)
                 status = 200
                 body = json.dumps({"y": np.asarray(y).tolist()}).encode()
             except Exception as e:  # noqa: BLE001 - report to client
@@ -228,6 +238,6 @@ def serve_http(predictor: Predictor, host: str = "127.0.0.1",
         def log_message(self, *a):
             pass
 
-    server = HTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     print(f"serving on http://{host}:{port}/predict", flush=True)
     server.serve_forever()

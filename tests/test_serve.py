@@ -120,6 +120,17 @@ class TestPredictor:
         assert health["status"] == "ok"
         assert health["model_type"] == "mfm"
         assert health["seqlength"] == p.cfg.seqlength
+        # threaded server: concurrent clients all get answers
+        results = [None] * 4
+
+        def hit(i):
+            with urllib.request.urlopen(req, timeout=10) as r:
+                results[i] = json.loads(r.read())
+
+        ths = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        [t.start() for t in ths]
+        [t.join() for t in ths]
+        assert all(r is not None and len(r["y"]) == 2 for r in results)
 
 
 class TestResume:
