@@ -34,6 +34,16 @@ def make_mesh(n_devices: Optional[int] = None,
               shape: Optional[Sequence[int]] = None) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"make_mesh: need {n} devices, have {len(devices)} "
+            f"(platform={devices[0].platform!r}). For CPU testing set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            "force the cpu platform BEFORE first backend use via "
+            "jax.config.update('jax_platforms', 'cpu') — env "
+            "JAX_PLATFORMS alone is too late on images that preload a "
+            "TPU plugin (see tests/conftest.py)."
+        )
     devices = np.asarray(devices[:n])
     if shape is None:
         shape = (n,) if len(axes) == 1 else (n // 2, 2)

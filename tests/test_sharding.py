@@ -92,6 +92,91 @@ class TestDataParallel:
         mesh2 = make_mesh(8, axes=("data", "model"), shape=(4, 2))
         assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
 
+    def test_mesh_oversubscription_raises_clear_error(self):
+        with pytest.raises(ValueError, match="need 16 devices, have 8"):
+            make_mesh(16)
+        with pytest.raises(ValueError, match="xla_force_host_platform"):
+            make_mesh(999)
+
+
+class TestTensorParallel:
+    """The 2-D ('data','model') TP path: assert the listed decoder
+    weights are ACTUALLY sharded over 'model', and that a TP epoch
+    matches the replicated-DP epoch numerically (GSPMD inserts the
+    gathers; math identical up to reduction order)."""
+
+    def _mesh2d(self):
+        return make_mesh(8, axes=("data", "model"), shape=(4, 2))
+
+    def test_tp_shards_listed_decoder_weights(self):
+        from jax.sharding import PartitionSpec as P
+
+        from factorized_tpu.parallel.sharding import tp_param_shardings
+
+        mesh = self._mesh2d()
+        init, _ = get_model("mfm")
+        params = init(jax.random.PRNGKey(0), CFG)
+        tp = tp_param_shardings(mesh, params)
+        dec_l = tp["dec"]["decoder_l"]
+        # the rule list: decoder_l/fc1/w, decoder_l/lstm/wx, .../wh
+        assert dec_l["fc1"]["w"].sharding.spec == P(None, "model")
+        assert dec_l["lstm"]["wx"].sharding.spec == P(None, "model")
+        assert dec_l["lstm"]["wh"].sharding.spec == P(None, "model")
+        # non-listed weights stay replicated
+        assert tp["dec"]["decoder_a"]["fc1"]["w"].sharding.spec == P()
+        assert tp["fy_to_y"]["fc1"]["w"].sharding.spec == P()
+        # values unchanged by placement
+        np.testing.assert_array_equal(
+            np.asarray(dec_l["fc1"]["w"]),
+            np.asarray(params["dec"]["decoder_l"]["fc1"]["w"]))
+
+    def test_tp_epoch_matches_replicated_dp(self):
+        from factorized_tpu.parallel.sharding import tp_param_shardings
+
+        program, params, opt_state, Xb, yb = _setup()
+        lr = jnp.asarray(1e-3, jnp.float32)
+        key = jax.random.PRNGKey(1)
+
+        # replicated single-device baseline
+        p1, _, acc1 = program.epoch(params, opt_state, jnp.asarray(Xb),
+                                    jnp.asarray(yb), key, lr)
+        acc1 = float(acc1)
+
+        # DP(4) x TP(2) over the 2-D mesh
+        mesh = self._mesh2d()
+        dp = DataParallel(mesh)
+        init, _ = get_model("mfm")
+        program2 = TrainProgram(get_model("mfm")[1], CFG, "joint",
+                                make_optimizer("adam"))
+        params2 = tp_param_shardings(mesh, init(jax.random.PRNGKey(0), CFG))
+        opt_state2 = dp.params(make_optimizer("adam").init(params2))
+        Xs, ys = dp.epoch_batches(Xb, yb)
+        with mesh:
+            p2, _, acc2 = program2.epoch(params2, opt_state2, Xs, ys,
+                                         key, lr)
+        acc2 = float(acc2)
+        assert abs(acc1 - acc2) / max(abs(acc1), 1e-6) < 5e-3
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-5)
+
+    def test_tp_full_set_eval(self):
+        from factorized_tpu.parallel.sharding import tp_param_shardings
+
+        program, params, _, _, _ = _setup()
+        mesh = self._mesh2d()
+        dp = DataParallel(mesh)
+        rng = np.random.default_rng(2)
+        Xv = rng.normal(size=(CFG.seqlength, 13, CFG.d_total)).astype(
+            np.float32)
+        yv = rng.normal(size=(13,)).astype(np.float32)
+        Xs, ys, n = dp.full_set(Xv, yv)
+        assert n == 13
+        params_tp = tp_param_shardings(mesh, params)
+        with mesh:
+            loss = program.evaluate(params_tp, Xs, ys, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
 
 class TestMultiSeed:
     def test_multiseed_matches_single_seed_count(self):
