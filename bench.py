@@ -31,7 +31,11 @@ CACHE = os.path.join(REPO, ".bench_cache.json")
 BATCH = 32
 T = 20
 STEPS_JAX = 20
-STEPS_TORCH = 6
+# torch baseline: 4 groups x 8 steps, median of group rates (mirrors the
+# JAX side's best-of-groups; a single short sample was too noisy to
+# anchor the headline ratio)
+TORCH_GROUPS = 4
+TORCH_STEPS_PER_GROUP = 8
 
 
 def log(*a):
@@ -241,13 +245,19 @@ def bench_torch(cfg):
         opt.step()
         return float(disc)
 
-    step()  # warmup
-    t0 = time.perf_counter()
-    for _ in range(STEPS_TORCH):
-        step()
-    dt = time.perf_counter() - t0
-    sps = STEPS_TORCH / dt
-    log(f"torch-cpu: {STEPS_TORCH} steps in {dt:.2f}s -> {sps:.3f} steps/s")
+    for _ in range(3):
+        step()  # warmup
+    rates = []
+    for _ in range(TORCH_GROUPS):
+        t0 = time.perf_counter()
+        for _ in range(TORCH_STEPS_PER_GROUP):
+            step()
+        rates.append(TORCH_STEPS_PER_GROUP / (time.perf_counter() - t0))
+    sps = float(np.median(rates))
+    log(f"torch-cpu: {TORCH_GROUPS}x{TORCH_STEPS_PER_GROUP} steps, "
+        f"group rates {[f'{r:.2f}' for r in rates]} -> median {sps:.3f} "
+        f"steps/s ({torch.get_num_threads()} threads, torch "
+        f"{torch.__version__})")
     return sps
 
 
@@ -255,7 +265,8 @@ def cached_torch_baseline(cfg):
     import torch
 
     cfg_key = hashlib.sha1(
-        json.dumps([cfg.to_dict(), BATCH, T, torch.__version__],
+        json.dumps([cfg.to_dict(), BATCH, T, torch.__version__,
+                    TORCH_GROUPS, TORCH_STEPS_PER_GROUP, "median-v2"],
                    sort_keys=True, default=str).encode()
     ).hexdigest()[:16]
     if os.path.exists(CACHE):
@@ -277,6 +288,8 @@ def main():
     from factorized_tpu.utils.compilation_cache import enable
 
     enable()
+    import torch
+
     cfg = get_cfg()
     torch_sps = cached_torch_baseline(cfg)
     jax_sps = bench_jax(cfg)
@@ -285,6 +298,9 @@ def main():
         "value": round(jax_sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(jax_sps / torch_sps, 2),
+        "baseline_steps_per_sec": round(torch_sps, 3),
+        "baseline_torch_version": torch.__version__,
+        "baseline_torch_threads": torch.get_num_threads(),
     }
     print(json.dumps(result))
 

@@ -40,12 +40,16 @@ def _best(metrics):
 def parse_text_log(path, condition=None):
     """Scrape one reference-format stdout log. ``condition`` filters a
     missing-modality section ('l'|'a'|'v'|None), mirroring the ``ttt``/
-    ``add`` machinery at ``check.py:57-71``."""
+    ``add`` machinery at ``check.py:57-71``. The per-file run counter
+    (``_runs``) counts config lines like the reference's ``tot`` counter
+    over ``OrderedDict`` lines (``check.py:175-177,190``)."""
     metrics = defaultdict(list)
     recon = defaultdict(list)
     add = condition is None
     with open(path, errors="replace") as f:
         for line in f:
+            if "OrderedDict" in line or line.startswith("[{'"):
+                metrics["_runs"].append(1.0)
             for tag in ("all present", "l missing", "a missing", "v missing"):
                 if line.startswith(tag):
                     try:
@@ -121,6 +125,8 @@ def parse_jsonl(path, condition=None):
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if rec.get("kind") == "config":
+                metrics["_runs"].append(1.0)
             if rec.get("kind") != "final":
                 continue
             scalars = {k: v for k, v in rec.items()
@@ -158,8 +164,13 @@ def check_dir(directory, condition=None, out=print):
         best = _best(metrics)
         if not best and not recon:
             continue
+        n_runs = len(metrics.get("_runs", []))
+        if n_runs:
+            best["_runs"] = n_runs
         summary[name] = best
-        out(name)
+        # reference prints `file2 tot` — filename + per-file run count
+        # (``check.py:190``)
+        out(name, n_runs)
         for k in ("acc", "fscore", "mae", "corr", "mult_acc"):
             if k in best:
                 out(f"{k}: {best[k]}")
@@ -224,21 +235,92 @@ def parse_jsonl_multitrait(path):
     return {k: np.asarray(v) for k, v in rows.items() if v}
 
 
-def best_multitrait(directory, out=print):
-    """Per-trait bests across a directory of multi-trait logs:
-    min mae / max corr / max mult_acc per trait (``check.py:150-159``).
-    Reads both reference-format .txt logs and our JSONL records."""
-    agg = {}
+# POM logs carry 17 per-trait columns; the reference reports only these
+# indices (trait 14 is dropped, ``check.py:241``)
+_POM_WANT = list(range(14)) + [15, 16]
+
+
+def _multitrait_files(directory):
     for name in sorted(os.listdir(directory)):
         path = os.path.join(directory, name)
         if name.endswith(".jsonl"):
-            rows = parse_jsonl_multitrait(path)
+            yield name, parse_jsonl_multitrait(path)
         elif name.endswith(".txt") or name.endswith(".log"):
-            rows = parse_text_log_multitrait(path)
-        else:
+            yield name, parse_text_log_multitrait(path)
+
+
+def _pom_rows(agg, out, want=None):
+    """The reference's POM print block (``check.py:230-250``): min-mae /
+    max-corr rows, plus an 'acc' row = max mult_acc per trait x100."""
+    result = {}
+    for k, label, fn in (("mae", "mae", np.nanmin),
+                         ("corr", "corr", np.nanmax),
+                         ("mult_acc", "acc", np.nanmax)):
+        if k not in agg:
             continue
+        stacked = np.concatenate(agg[k], axis=0)
+        best = fn(stacked, axis=0)
+        idx = want
+        if idx is None or max(idx) >= best.shape[0]:
+            idx = range(best.shape[0])
+        vals = [float(best[i]) for i in idx]
+        if label == "acc":
+            # reference scales mult_acc x100 in the POM acc row
+            # (``check.py:247``: round(x,3)*100.0)
+            out("acc:", "&".join(str(round(v, 3) * 100.0) for v in vals))
+        else:
+            out(f"{label}:", "&".join(str(round(v, 3)) for v in vals))
+        result[label] = vals
+    return result
+
+
+def best_multitrait(directory, out=print, style=None):
+    """Per-trait bests across a directory of multi-trait logs:
+    min mae / max corr / max mult_acc per trait (``check.py:150-159``).
+    Reads both reference-format .txt logs and our JSONL records.
+
+    ``style`` selects the reference's aggregation mode:
+    - ``None`` (default): directory-wide bests, one row per metric —
+      the generic surface.
+    - ``'pom'``: directory-wide accumulation with the reference's POM
+      report (``check.py:230-250``): mae/corr rows plus a per-trait
+      ``acc`` row (max mult_acc x100); when logs carry 17 POM traits
+      only the reference's 16 ``want`` indices are printed (trait 14
+      dropped, ``check.py:241``).
+    - ``'ie2'``: accumulators RESET PER FILE (``check.py:122-127``) —
+      each log gets its own mae/corr rows over its first 3 traits;
+      returns ``{filename: rows}``.
+    """
+    if style == "ie2":
+        result = {}
+        for name, rows in _multitrait_files(directory):
+            if not rows:
+                continue
+            out(name, sum(len(a) for a in rows.values()))
+            per = {}
+            for k, label, fn in (("mae", "mae", np.nanmin),
+                                 ("corr", "corr", np.nanmax)):
+                if k not in rows:
+                    continue
+                best = fn(rows[k], axis=0)[:3]  # want=[0,1,2]
+                out(f"{label}:",
+                    "&".join(str(round(float(v), 3)) for v in best))
+                per[label] = [float(v) for v in best]
+            out("")
+            result[name] = per
+        return result
+
+    agg = {}
+    n_traits = 0
+    for name, rows in _multitrait_files(directory):
+        if rows and style == "pom":
+            out(name, sum(len(a) for a in rows.values()))
         for k, arr in rows.items():
             agg.setdefault(k, []).append(arr)
+            n_traits = max(n_traits, arr.shape[1])
+    if style == "pom":
+        return _pom_rows(agg, out,
+                         want=_POM_WANT if n_traits == 17 else None)
     result = {}
     for k, arrs in agg.items():
         stacked = np.concatenate(arrs, axis=0)

@@ -363,7 +363,7 @@ def run_check(args):
     from factorized_tpu.check import best_multitrait, check_dir
 
     if args.multitrait:
-        best_multitrait(args.dir)
+        best_multitrait(args.dir, style=args.style)
     else:
         check_dir(args.dir, condition=args.condition)
     return 0
@@ -457,6 +457,9 @@ def build_parser():
     sp.add_argument("--condition", default=None, choices=["l", "a", "v"])
     sp.add_argument("--multitrait", action="store_true",
                     help="per-trait aggregation (reference pom/ie2 modes)")
+    sp.add_argument("--style", default=None, choices=["pom", "ie2"],
+                    help="multitrait report style: pom = directory-wide "
+                         "with x100 acc row; ie2 = per-file reset")
     sp.set_defaults(func=run_check)
 
     return p

@@ -4,8 +4,11 @@
 ReduceLROnPlateau(optimizer, 'min')`` with torch defaults
 (factor=0.1, patience=10, rel threshold=1e-4, cooldown=0) as used by
 every reference trainer (``mfm_mosi.py:253``). The LR lives OUTSIDE the
-jitted epoch program — it's injected via ``optax.inject_hyperparams``
-so changing it never triggers recompilation.
+jitted epoch program — it is passed to the epoch as a traced scalar
+argument (``train.py`` scales updates by lr inside the step), so
+changing it never triggers recompilation. Do NOT reintroduce
+``optax.inject_hyperparams`` for this: measured 4x runtime regression
+(see train.py make_optimizer notes).
 """
 
 from __future__ import annotations

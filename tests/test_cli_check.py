@@ -186,6 +186,62 @@ mult_acc: [0.2, 0.5, 0.1]
         assert res["corr"] == [0.4, 0.5, 0.6]
         assert res["mult_acc"] == [0.2, 0.5, 0.1]
 
+    def test_pom_style_acc_row_and_want_indices(self, tmp_path, capsys):
+        """POM mode prints a per-trait acc row scaled x100 and drops
+        trait 14 from 17-trait logs (reference check.py:241,247)."""
+        from factorized_tpu.check import best_multitrait
+
+        mae = [round(1.0 + 0.01 * i, 2) for i in range(17)]
+        corr = [round(0.1 + 0.01 * i, 2) for i in range(17)]
+        acc = [round(0.2 + 0.01 * i, 2) for i in range(17)]
+        log = (f"OrderedDict([('x', 1)])\nmae: {mae}\n"
+               f"corr: {corr}\nmult_acc: {acc}\n")
+        (tmp_path / "pom1.txt").write_text(log)
+        res = best_multitrait(str(tmp_path), style="pom")
+        outp = capsys.readouterr().out
+        assert len(res["mae"]) == 16  # trait 14 dropped
+        assert res["mae"] == mae[:14] + mae[15:]
+        # acc row is x100
+        assert res["acc"] == acc[:14] + acc[15:]
+        assert "acc: 20.0&21.0" in outp
+        # per-file record counts printed
+        assert "pom1.txt 3" in outp
+
+    def test_ie2_style_per_file_reset(self, tmp_path, capsys):
+        """ie2 mode resets accumulators per file (check.py:122-127):
+        each log reports its OWN bests, not directory-wide."""
+        from factorized_tpu.check import best_multitrait
+
+        (tmp_path / "a.txt").write_text(
+            "mae: [1.0, 2.0, 3.0]\ncorr: [0.5, 0.4, 0.3]\n"
+            "mae: [1.5, 1.5, 1.5]\ncorr: [0.2, 0.6, 0.2]\n")
+        (tmp_path / "b.txt").write_text(
+            "mae: [9.0, 9.0, 9.0]\ncorr: [0.9, 0.9, 0.9]\n")
+        res = best_multitrait(str(tmp_path), style="ie2")
+        assert res["a.txt"]["mae"] == [1.0, 1.5, 1.5]
+        assert res["a.txt"]["corr"] == [0.5, 0.6, 0.3]
+        # b's 9.0s must NOT be polluted by a's (per-file reset)
+        assert res["b.txt"]["mae"] == [9.0, 9.0, 9.0]
+        outp = capsys.readouterr().out
+        assert "mae: 1.0&1.5&1.5" in outp
+        assert "mae: 9.0&9.0&9.0" in outp
+
+    def test_per_file_run_counts(self, tmp_path):
+        """check_dir surfaces per-file trial counts (reference counts
+        OrderedDict config lines, check.py:175-177,190)."""
+        (tmp_path / "r.txt").write_text(
+            "OrderedDict([('a', 1)])\nmae:  0.9\n"
+            "OrderedDict([('a', 2)])\nmae:  0.8\n")
+        recs = [{"kind": "config", "seed": 1},
+                {"kind": "final", "mae": 0.7},
+                {"kind": "config", "seed": 2},
+                {"kind": "final", "mae": 0.6}]
+        (tmp_path / "r.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in recs))
+        summary = check_dir(str(tmp_path), out=lambda *a: None)
+        assert summary["r.txt"]["_runs"] == 2
+        assert summary["r.jsonl"]["_runs"] == 2
+
     def test_dataset_shapes_and_styles(self):
         from factorized_tpu.data import multitrait
 
