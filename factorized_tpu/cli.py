@@ -57,9 +57,11 @@ def load_dataset(name, seqlength, data_root):
     return mod.get_data(seqlength, data_root=data_root)
 
 
-def dispatch_trainer(data, cfg, info, *, lr, logger, seed):
-    """The reference's driver if-chain (``mfm_mosi.py:1358-1369``)."""
-    kw = dict(logger=logger, seed=seed, lr=lr)
+def dispatch_trainer(data, cfg, info, *, lr, logger, seed,
+                     resume_from=None):
+    """The reference's driver if-chain (``mfm_mosi.py:1358-1369``).
+    Every trainer accepts ``resume_from`` (checkpoint dir)."""
+    kw = dict(logger=logger, seed=seed, lr=lr, resume_from=resume_from)
     if info["threshold"] is not None:
         kw.update(binary_threshold=info["threshold"],
                   threshold_mode=info["mode"])
@@ -129,6 +131,11 @@ def run_dataset(args):
         # joint-loss types through it
         if args.seeds > 1 and cfg.model_type in ("mfm", "kl") \
                 and not (cfg.missing or cfg.zeros):
+            if args.resume:
+                raise SystemExit(
+                    "--resume is not supported with --seeds > 1 (the "
+                    "vmapped multiseed trainer has no checkpoint state); "
+                    "drop one of the flags")
             from factorized_tpu.parallel.multiseed import train_mfm_multiseed
 
             kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
@@ -137,20 +144,10 @@ def run_dataset(args):
                 kw.update(binary_threshold=info["threshold"],
                           threshold_mode=info["mode"])
             res = train_mfm_multiseed(*data, cfg, **kw)
-        elif args.resume and cfg.model_type in ("mfm", "kl", "kl_ef") \
-                and not (cfg.missing or cfg.zeros):
-            kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
-                      resume_from=args.resume,
-                      include_remainder=info.get("include_remainder", False))
-            if info["threshold"] is not None:
-                kw.update(binary_threshold=info["threshold"],
-                          threshold_mode=info["mode"])
-            train = (trainers.train_beta_vae if cfg.model_type == "kl_ef"
-                     else trainers.train_mfm)
-            res = train(*data, cfg, **kw)
         else:
             res = dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
-                                   seed=args.seed + trial)
+                                   seed=args.seed + trial,
+                                   resume_from=args.resume)
         if args.save_ckpt and isinstance(res.get("params"), dict):
             from factorized_tpu.utils.checkpoint import save_checkpoint
 
@@ -197,6 +194,11 @@ def run_mosi_acc(args):
         logger = RunLogger(args.out, run_id=f"mosi_acc_{trial}")
         logger.record("config", **cfg.to_dict())
         if args.seeds > 1:
+            if args.resume:
+                raise SystemExit(
+                    "--resume is not supported with --seeds > 1 (the "
+                    "vmapped multiseed trainer has no checkpoint state); "
+                    "drop one of the flags")
             from factorized_tpu.parallel.multiseed import train_mfm_multiseed
 
             train_mfm_multiseed(
@@ -205,8 +207,23 @@ def run_mosi_acc(args):
                 valid_metric="accuracy",
             )
         else:
-            trainers.train_mfm_acc(*data, cfg, logger=logger,
-                                   seed=args.seed + trial)
+            res = trainers.train_mfm_acc(*data, cfg, logger=logger,
+                                         seed=args.seed + trial,
+                                         resume_from=args.resume)
+            if args.save_ckpt and isinstance(res.get("params"), dict):
+                from factorized_tpu.utils.checkpoint import save_checkpoint
+
+                path = f"{args.out}/ckpt_mosi_acc_{trial}"
+                meta_cfg = cfg.to_dict()
+                if res.get("history"):
+                    meta_cfg["_resume_lr"] = res["history"][-1].get("lr")
+                if "best_valid" in res:
+                    meta_cfg["_resume_best_valid"] = res["best_valid"]
+                save_checkpoint(path, res["params"],
+                                opt_state=res.get("opt_state"),
+                                step=res.get("step", cfg.num_epochs),
+                                config=meta_cfg)
+                logger.text(f"checkpoint saved to {path}")
         logger.close()
         trial += 1
         if args.mode != "search" or (args.trials and trial >= args.trials):
@@ -344,7 +361,8 @@ def run_multitrait(args):
         logger = RunLogger(args.out, run_id=f"{args.style}_{trial}")
         logger.record("config", style=args.style, **cfg.to_dict())
         res = trainers.train_mfm_multitrait(
-            *data, cfg, logger=logger, seed=args.seed + trial, lr=args.lr)
+            *data, cfg, logger=logger, seed=args.seed + trial, lr=args.lr,
+            resume_from=args.resume)
         if args.save_ckpt and isinstance(res.get("params"), dict):
             from factorized_tpu.utils.checkpoint import save_checkpoint
 

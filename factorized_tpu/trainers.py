@@ -140,6 +140,36 @@ def _std_predict(apply_fn, cfg):
     return predict
 
 
+def _maybe_resume(resume_from, params, opt_state, logger):
+    """Restore ``(params, opt_state, start_epoch, lr, best_valid)`` from
+    a checkpoint directory written by the CLI's ``--save-ckpt`` (resume
+    is a capability the reference lacks entirely; SURVEY.md §5.4).
+    No-op returning epoch 0 when ``resume_from`` is falsy."""
+    if not resume_from:
+        return params, opt_state, 0, None, None
+    from factorized_tpu.utils.checkpoint import restore_checkpoint
+
+    state, meta = restore_checkpoint(
+        resume_from, target={"params": params, "opt_state": opt_state}
+    )
+    params, opt_state = state["params"], state["opt_state"]
+    start_epoch = meta.get("step", 0)
+    # restore schedule/keeper context so dynamics continue from where
+    # the run left off (patience counters restart)
+    resume_lr = meta.get("config", {}).get("_resume_lr")
+    resume_best = meta.get("config", {}).get("_resume_best_valid")
+    logger.text(f"resumed from {resume_from} at epoch {start_epoch}"
+                + (f" lr={resume_lr}" if resume_lr else ""))
+    return params, opt_state, start_epoch, resume_lr, resume_best
+
+
+def _resume_keeper(keeper, resume_best, params):
+    if resume_best is not None:
+        keeper.best = resume_best
+        keeper.best_params = jax.tree.map(np.asarray, params)
+    return keeper
+
+
 def train_mfm(
     X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
     lr: Optional[float] = None,
@@ -181,22 +211,8 @@ def train_mfm(
     opt = make_optimizer(optimizer, lr, cfg.momentum)
     opt_state = opt.init(params)
 
-    start_epoch = 0
-    resume_lr, resume_best = None, None
-    if resume_from:
-        from factorized_tpu.utils.checkpoint import restore_checkpoint
-
-        state, meta = restore_checkpoint(
-            resume_from, target={"params": params, "opt_state": opt_state}
-        )
-        params, opt_state = state["params"], state["opt_state"]
-        start_epoch = meta.get("step", 0)
-        # restore schedule/keeper context so dynamics continue from
-        # where the run left off (patience counters restart)
-        resume_lr = meta.get("config", {}).get("_resume_lr")
-        resume_best = meta.get("config", {}).get("_resume_best_valid")
-        logger.text(f"resumed from {resume_from} at epoch {start_epoch}"
-                    + (f" lr={resume_lr}" if resume_lr else ""))
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     program = TrainProgram(apply_fn, cfg, "joint", opt)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize,
@@ -204,10 +220,7 @@ def train_mfm(
     yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
 
     scheduler = ReduceLROnPlateau(resume_lr or lr)
-    keeper = BestKeeper("min")
-    if resume_best is not None:
-        keeper.best = resume_best
-        keeper.best_params = jax.tree.map(np.asarray, params)
+    keeper = _resume_keeper(BestKeeper("min"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
@@ -259,19 +272,8 @@ def train_beta_vae(
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
 
-    start_step = 0
-    resume_lr = None
-    if resume_from:
-        from factorized_tpu.utils.checkpoint import restore_checkpoint
-
-        state, meta = restore_checkpoint(
-            resume_from, target={"params": params, "opt_state": opt_state}
-        )
-        params, opt_state = state["params"], state["opt_state"]
-        start_step = meta.get("step", 0)
-        resume_lr = meta.get("config", {}).get("_resume_lr")
-        logger.text(f"resumed from {resume_from} at total epoch {start_step}"
-                    + (f" lr={resume_lr}" if resume_lr else ""))
+    params, opt_state, start_step, resume_lr, _ = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize,
                                include_remainder)
@@ -314,6 +316,7 @@ def train_mfm_missing(
     seed: int = 123,
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
+    resume_from: Optional[str] = None,
 ):
     logger = logger or RunLogger()
     Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
@@ -326,16 +329,19 @@ def train_mfm_missing(
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     program = TrainProgram(apply_fn, cfg, "missing", opt)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
     yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
 
-    scheduler = ReduceLROnPlateau(lr)
-    keeper = BestKeeper("min")
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
+    keeper = _resume_keeper(BestKeeper("min"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-        cfg.num_epochs, scheduler, keeper, logger, key
+        max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
+        jax.random.fold_in(key, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -366,7 +372,9 @@ def train_mfm_missing(
         results[tag] = _score(logger, fetch_y(dec), yte_l, cfg,
                               binary_threshold, threshold_mode)
     logger.record("final", **{t: m for t, m in results.items()})
-    return {"metrics": results, "params": best_params, "history": history}
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
+    return {"metrics": results, "params": best_params, "history": history,
+            "opt_state": opt_state, "best_valid": keeper.best, "step": step}
 
 
 def train_mfm_test_zeros(
@@ -376,6 +384,7 @@ def train_mfm_test_zeros(
     seed: int = 123,
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
+    resume_from: Optional[str] = None,
 ):
     """Train plain MFM; at test time zero one modality's input slice at
     a time and score each (``mfm_mosi.py:577-596``)."""
@@ -390,16 +399,19 @@ def train_mfm_test_zeros(
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     program = TrainProgram(apply_fn, cfg, "joint", opt)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
     yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
 
-    scheduler = ReduceLROnPlateau(lr)
-    keeper = BestKeeper("min")
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
+    keeper = _resume_keeper(BestKeeper("min"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-        cfg.num_epochs, scheduler, keeper, logger, key
+        max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
+        jax.random.fold_in(key, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -423,7 +435,9 @@ def train_mfm_test_zeros(
         results[tag] = _score(logger, y_hat, yte_l, cfg, binary_threshold,
                               threshold_mode)
     logger.record("final", **results)
-    return {"metrics": results, "params": best_params, "history": history}
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
+    return {"metrics": results, "params": best_params, "history": history,
+            "opt_state": opt_state, "best_valid": keeper.best, "step": step}
 
 
 def train_mfm_ablation(X_train, y_train, X_valid, y_valid, X_test, y_test,
@@ -440,6 +454,7 @@ def train_seq2seq(
     lr: Optional[float] = None,
     logger: Optional[RunLogger] = None,
     seed: int = 123,
+    resume_from: Optional[str] = None,
 ):
     """Reconstruction-only training; reports per-modality test MSE
     (``mfm_mosi.py:769-916``)."""
@@ -454,15 +469,17 @@ def train_seq2seq(
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     program = TrainProgram(apply_fn, cfg, "s2s", opt)
     Xb, yb, rem = make_batches(Xtr, ytr.astype(np.float32), cfg.batchsize, False)
-    scheduler = ReduceLROnPlateau(lr)
-    keeper = BestKeeper("min")
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
+    keeper = _resume_keeper(BestKeeper("min"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv,
-        np.asarray(yv, np.float32), cfg.num_epochs, scheduler, keeper,
-        logger, key
+        np.asarray(yv, np.float32), max(cfg.num_epochs - start_epoch, 0),
+        scheduler, keeper, logger, jax.random.fold_in(key, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -480,7 +497,9 @@ def train_seq2seq(
     }
     logger.text(mses["x_l_nol_mse"], mses["x_a_noa_mse"], mses["x_v_nov_mse"])
     logger.record("final", **mses)
-    return {"metrics": mses, "params": best_params, "history": history}
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
+    return {"metrics": mses, "params": best_params, "history": history,
+            "opt_state": opt_state, "best_valid": keeper.best, "step": step}
 
 
 def train_basic_missing(
@@ -490,6 +509,7 @@ def train_basic_missing(
     seed: int = 123,
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
+    resume_from: Optional[str] = None,
 ):
     logger = logger or RunLogger()
     Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
@@ -502,15 +522,18 @@ def train_basic_missing(
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     program = TrainProgram(apply_fn, cfg, "bm", opt)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
     yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
-    scheduler = ReduceLROnPlateau(lr)
-    keeper = BestKeeper("min")
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
+    keeper = _resume_keeper(BestKeeper("min"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-        cfg.num_epochs, scheduler, keeper, logger, key
+        max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
+        jax.random.fold_in(key, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -529,7 +552,9 @@ def train_basic_missing(
         results[tag] = _score(logger, np.asarray(y_hat), yte_l, cfg,
                               binary_threshold, threshold_mode)
     logger.record("final", **results)
-    return {"metrics": results, "params": best_params, "history": history}
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
+    return {"metrics": results, "params": best_params, "history": history,
+            "opt_state": opt_state, "best_valid": keeper.best, "step": step}
 
 
 def train_mfm_acc(
@@ -537,6 +562,7 @@ def train_mfm_acc(
     lr: Optional[float] = None,
     logger: Optional[RunLogger] = None,
     seed: int = 123,
+    resume_from: Optional[str] = None,
 ):
     """Binary-accuracy MOSI variant (``mfm_mosi_acc.py:396-503``):
     labels binarized upstream (y >= 0), CE disc loss, and the valid
@@ -554,6 +580,8 @@ def train_mfm_acc(
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     program = TrainProgram(apply_fn, cfg, "joint", opt)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
@@ -564,19 +592,20 @@ def train_mfm_acc(
         logits = np.asarray(predict(params, x, key))
         return accuracy(np.asarray(y), np.argmax(logits, axis=1))
 
-    scheduler = ReduceLROnPlateau(lr)
-    keeper = BestKeeper("max")
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
+    keeper = _resume_keeper(BestKeeper("max"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-        cfg.num_epochs, scheduler, keeper, logger, key,
-        eval_metric=eval_accuracy,
+        max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
+        jax.random.fold_in(key, start_epoch), eval_metric=eval_accuracy,
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
     logits = np.asarray(predict(best_params, Xte, jax.random.PRNGKey(0)))
     metrics = score_classification(logits, yte_l)
     logger.record("final", **metrics)
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
     return {"metrics": metrics, "params": best_params, "history": history,
-            "best_valid": keeper.best}
+            "opt_state": opt_state, "best_valid": keeper.best, "step": step}
 
 
 def train_mfm_multitrait(
@@ -584,6 +613,7 @@ def train_mfm_multitrait(
     lr: Optional[float] = None,
     logger: Optional[RunLogger] = None,
     seed: int = 123,
+    resume_from: Optional[str] = None,
 ):
     """Multi-trait regression — the reference's POM/IEMOCAP-style
     experiments, which exist there only as ``check.py``'s multi-trait
@@ -609,6 +639,8 @@ def train_mfm_multitrait(
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
     opt_state = opt.init(params)
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
 
     program = TrainProgram(apply_fn, cfg, "joint", opt)
     Xb, yb, rem = make_batches(Xtr, ytr.astype(np.float32), cfg.batchsize,
@@ -616,11 +648,12 @@ def train_mfm_multitrait(
     yv_l = np.asarray(yv, np.float32)
     yte_l = np.asarray(yte, np.float32)
 
-    scheduler = ReduceLROnPlateau(lr)
-    keeper = BestKeeper("min")
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
+    keeper = _resume_keeper(BestKeeper("min"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-        cfg.num_epochs, scheduler, keeper, logger, key
+        max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
+        jax.random.fold_in(key, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
     predict = _std_predict(apply_fn, cfg)
@@ -628,10 +661,10 @@ def train_mfm_multitrait(
     logger.text("scoring y_hat")
     metrics = score_multitrait(y_hat, yte_l)
     logger.record("final", **metrics)
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
     return {"metrics": metrics, "params": best_params,
             "opt_state": opt_state, "history": history,
-            "best_valid": keeper.best,
-            "step": sum(1 for e in history if not e.get("diverged"))}
+            "best_valid": keeper.best, "step": step}
 
 
 def train_predictor(

