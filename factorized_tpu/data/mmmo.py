@@ -45,10 +45,16 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None,
                 if i == 0 or not row:
                     continue
                 link = row[0]
+                # last column, falling back to column 1
+                # (data_loader equivalent tolerated garbage rows with a
+                # bare except — a row with NO parseable label is skipped)
                 try:
                     label = float(row[-1])
-                except ValueError:
-                    label = float(row[1])
+                except (ValueError, IndexError):
+                    try:
+                        label = float(row[1])
+                    except (ValueError, IndexError):
+                        continue
                 vid = link.split(".")[0] if "." in link else link
                 labels[vid] = {"1": label}
     else:

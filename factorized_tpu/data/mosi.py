@@ -99,8 +99,24 @@ def load_facet(truth, facet_dir, fps=30):
         with open(path, newline="") as f:
             lines = [l for l in f.read().replace("\r\n", "\n").split("\n")[1:]
                      if l]
-        feats = np.array([[float(x) for x in l.split(",")] for l in lines],
-                         dtype=np.float64)[:, 5:]
+        # a truncated/garbage row (wrong column count, non-numeric) is
+        # skipped; a file with NO valid rows is data corruption and
+        # raises with the path rather than silently producing zeros
+        rows = []
+        for l in lines:
+            cells = l.split(",")
+            if len(cells) <= 5:
+                continue
+            try:
+                rows.append([float(x) for x in cells])
+            except ValueError:
+                continue
+        if rows:
+            width = max(len(r) for r in rows)
+            rows = [r for r in rows if len(r) == width]
+        if not rows:
+            raise ValueError(f"no valid FACET rows in {path}")
+        feats = np.array(rows, dtype=np.float64)[:, 5:]
         _assign_word_averages(truth[vid], feats, fps, "facet")
 
 
@@ -108,9 +124,16 @@ def load_covarep(truth, covarep_dir, hz=100):
     import scipy.io as sio
 
     for vid in truth:
-        fts = sio.loadmat(os.path.join(covarep_dir, f"{vid}.mat"))["features"]
-        _assign_word_averages(truth[vid], np.asarray(fts, np.float64), hz,
-                              "covarep")
+        path = os.path.join(covarep_dir, f"{vid}.mat")
+        fts = np.asarray(sio.loadmat(path)["features"], np.float64)
+        # zero frames but a known width is fine (every word window is
+        # empty -> zero vectors, segavg.cpp:21-45); a features matrix
+        # with no width at all is corruption and raises with the path
+        if fts.ndim != 2 or fts.shape[1] == 0:
+            raise ValueError(
+                f"empty/invalid COVAREP features in {path}: "
+                f"shape {fts.shape}")
+        _assign_word_averages(truth[vid], fts, hz, "covarep")
 
 
 def split_videos(truth):

@@ -60,7 +60,14 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None,
                 if len(parts) < 2:
                     continue
                 name, lab = parts[0], parts[1]
-                i = name.index("_") + 1 + name[name.index("_") + 1:].index("_")
+                # ids are <vid>_<take>_<segment>; a malformed id (fewer
+                # than two underscores) is skipped like the reference's
+                # bare-except tolerance (mfm_moud.py:91-107)
+                try:
+                    i = (name.index("_") + 1
+                         + name[name.index("_") + 1:].index("_"))
+                except ValueError:
+                    continue
                 vid, sid = name[:i], name[i + 1:]
                 if lab == "positive":
                     labels.setdefault(vid, {})[sid] = 1

@@ -95,6 +95,60 @@ class TestRealMmmo:
         assert mmmo.THRESHOLD_MODE == "gt"
 
 
+class TestParserFuzz:
+    """Malformed-input behavior of the real-data parsers (VERDICT r1
+    item 8): garbage rows are SKIPPED, mirroring the reference's
+    bare-except tolerance (``mfm_moud.py:91-107``), never crash."""
+
+    def test_moud_malformed_cats_lines_skipped(self, tmp_path):
+        rng = np.random.default_rng(0)
+        text, audio, video = _make_modality_dicts(rng, 62, 2,
+                                                  vid_fmt="sp_{:03d}")
+        _dump_dicts(tmp_path, (text, audio, video),
+                    ("text_dict.p", "audio_dict.p", "video_dict.p"))
+        lines = []
+        for v, vid in enumerate(text):
+            for sid in text[vid]:
+                lines.append(f"{vid}_{sid} "
+                             f"{'positive' if v % 2 else 'negative'}")
+        clean = "\n".join(lines)
+        (tmp_path / "cats.txt").write_text(clean)
+        ref = moud.get_data(seqlength=5, data_root=str(tmp_path))
+
+        # now inject garbage: ids with <2 underscores, missing label,
+        # unknown label, blank lines
+        dirty = clean + ("\nnounderscore positive\none_underscore negative"
+                         "\n\nsp_000_9 maybe\nlonelytoken\n")
+        (tmp_path / "cats.txt").write_text(dirty)
+        fuzzed = moud.get_data(seqlength=5, data_root=str(tmp_path))
+        for a, b in zip(ref, fuzzed):
+            np.testing.assert_array_equal(a, b)
+
+    def test_mmmo_malformed_rows_skipped_and_fallback(self, tmp_path):
+        rng = np.random.default_rng(1)
+        text, audio, video = _make_modality_dicts(rng, 265, 1)
+        _dump_dicts(tmp_path, (text, audio, video),
+                    ("text_dict_s.p", "audio_dict_s.p", "video_dict_s.p"))
+        vids = list(text)
+        rows = ["link,score,final"]
+        # first video: last column garbage -> column-1 fallback
+        rows.append(f"{vids[0]}.mp4,4.5,garbage")
+        # second video: no parseable label anywhere -> row skipped
+        rows.append(f"{vids[1]}.mp4,notanum,alsonot")
+        # a single-cell junk row -> skipped (would IndexError naively)
+        rows.append("justonecell")
+        for vid in vids[2:]:
+            rows.append(f"{vid}.mp4,3.0,2.0")
+        (tmp_path / "annotations_full.csv").write_text("\n".join(rows))
+
+        X_tr, y_tr, *_ = mmmo.get_data(seqlength=4,
+                                       data_root=str(tmp_path))
+        # vids[0] got the fallback label 4.5; vids[1] was dropped
+        assert y_tr[0] == 4.5
+        # 220-video train split minus the one skipped video
+        assert len(y_tr) == 219
+
+
 class TestMoudCsvOrder:
     def test_split_uses_spanish_text_order(self, tmp_path):
         rng = np.random.default_rng(3)

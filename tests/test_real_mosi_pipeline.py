@@ -148,3 +148,54 @@ class TestRealPipeline:
                                  normalize_covarep=True)
         cov = X_tr[..., 300:305]
         assert np.abs(cov).max() <= 1.0 + 1e-5
+
+
+class TestParserFuzz:
+    """Corrupt FACET/COVAREP inputs (VERDICT r1 item 8): garbage rows
+    are skipped; files with no recoverable data raise with the path."""
+
+    def _truth(self):
+        return {"v0": {"1": {"data": [
+            {"word_ix": 1, "word": "THE",
+             "start_time_clip": 0.0, "end_time_clip": 0.5},
+        ]}}}
+
+    def test_facet_ragged_and_garbage_rows_skipped(self, tmp_path):
+        rng = np.random.default_rng(0)
+        valid = rng.normal(size=(15, 10))
+        lines = ["h," * 9 + "h"]
+        for fr in valid:
+            lines.append(",".join(["0"] * 5 + [f"{x:.6f}" for x in fr[5:]]))
+        # garbage at the tail: ragged short row, non-numeric row, and a
+        # full-width row with one bad cell
+        lines += ["1,2,3", "a,b,c,d,e,f,g,h,i,j",
+                  "0,0,0,0,0,oops,1,2,3,4"]
+        (tmp_path / "v0.FACET_out.csv").write_text("\r\n".join(lines))
+        truth = self._truth()
+        mosi.load_facet(truth, str(tmp_path))
+        got = truth["v0"]["1"]["data"][0]["facet"]
+        # window = frames [0, 15): mean of the 15 valid rows' cols 5:
+        manual = np.array([[float(f"{x:.6f}") for x in fr[5:]]
+                           for fr in valid]).mean(axis=0)
+        np.testing.assert_allclose(np.asarray(got), manual, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_facet_no_valid_rows_raises(self, tmp_path):
+        (tmp_path / "v0.FACET_out.csv").write_text(
+            "header\r\n1,2,3\r\na,b,c,d,e,f,g\r\n")
+        with pytest.raises(ValueError, match="no valid FACET rows"):
+            mosi.load_facet(self._truth(), str(tmp_path))
+
+    def test_covarep_zero_frames_gives_zero_vectors(self, tmp_path):
+        sio.savemat(tmp_path / "v0.mat",
+                    {"features": np.zeros((0, 74))})
+        truth = self._truth()
+        mosi.load_covarep(truth, str(tmp_path))
+        cov = np.asarray(truth["v0"]["1"]["data"][0]["covarep"])
+        assert cov.shape == (74,)
+        np.testing.assert_array_equal(cov, 0.0)
+
+    def test_covarep_widthless_features_raise(self, tmp_path):
+        sio.savemat(tmp_path / "v0.mat", {"features": np.zeros((0, 0))})
+        with pytest.raises(ValueError, match="COVAREP"):
+            mosi.load_covarep(self._truth(), str(tmp_path))
