@@ -17,6 +17,16 @@ integer-hash mask generation measured ~230us/step-loop slower on v5e).
 Residuals kept for backward: per-step (h, c, mem) only; attention
 internals are recomputed in the reverse loop (rematerialization —
 cheap VMEM-resident FLOPs instead of memory).
+
+Tried and REJECTED (scripts/encode_width_probe.py, v5e 2026-08-16):
+- 128-aligned fused width via dummy cells (h_tot 320 -> 384): +5%
+  SLOWER — Mosaic already pads the 320-lane carry internally, explicit
+  padding only adds real FLOPs.
+- Folding the zf MLPs + y-head into the decode kernel: their isolated
+  fwd+grad cost measures BELOW the chained-loop dispatch floor
+  (~0 ms/step), so a fold has no headroom. The single-model floor is
+  Mosaic sequential-loop latency; the multiseed vmapped path is where
+  remaining perf effort pays.
 """
 
 from __future__ import annotations
