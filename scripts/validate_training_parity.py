@@ -9,7 +9,13 @@ north-star's "MAE / binary-acc within 1%" criterion on the synthetic
 fixtures — same architecture, loss, optimizer (Adam 1e-3), schedule
 (ReduceLROnPlateau, best-valid checkpointing) on both sides.
 
-Usage: python scripts/validate_training_parity.py [--epochs 20]
+Both sides run K seeds (init/dropout/MMD RNG varies; data order fixed)
+at the full epoch budget and report mean +- std per metric plus the gap
+of means — the evidence for BASELINE.md's "within 1%" criterion
+(VERDICT r1 item 4; reference eval protocol ``mfm_mosi.py:483-499``).
+
+Usage: python scripts/validate_training_parity.py [--epochs 50]
+       [--seeds 5]
 Writes a markdown summary to stdout.
 """
 
@@ -35,7 +41,18 @@ def run_ours(data, cfg, epochs):
     return res["metrics"], time.time() - t0
 
 
-def run_torch(data, cfg, epochs):
+def run_ours_multiseed(data, cfg, epochs, n_seeds):
+    """K seeds in ONE vmapped program — per-seed test metrics."""
+    from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+    from factorized_tpu.utils.logging import RunLogger
+
+    t0 = time.time()
+    res = train_mfm_multiseed(*data, cfg.replace(num_epochs=epochs),
+                              n_seeds=n_seeds, logger=RunLogger(echo=False))
+    return [r["metrics"] for r in res["results"]], time.time() - t0
+
+
+def run_torch(data, cfg, epochs, seed=123):
     import torch
     import torch.nn.functional as F
 
@@ -44,7 +61,7 @@ def run_torch(data, cfg, epochs):
     from factorized_tpu.utils.scheduler import ReduceLROnPlateau
 
     X_train, y_train, X_valid, y_valid, X_test, y_test = data
-    torch.manual_seed(123)
+    torch.manual_seed(seed)  # varies init + dropout draws per seed
     torch.set_num_threads(os.cpu_count() or 8)
     model = bench._torch_mfm(cfg)
     opt = torch.optim.Adam(model.parameters())
@@ -86,7 +103,9 @@ def run_torch(data, cfg, epochs):
         if valid <= best_valid:
             best_valid = valid
             best_state = {k: v.clone() for k, v in model.state_dict().items()}
-        print(f"  torch epoch {epoch}: valid {valid:.4f}", file=sys.stderr)
+        if epoch % 10 == 0 or epoch == epochs - 1:
+            print(f"  torch[{seed}] epoch {epoch}: valid {valid:.4f}",
+                  file=sys.stderr)
     if best_state:
         model.load_state_dict(best_state)
     model.eval()
@@ -96,10 +115,20 @@ def run_torch(data, cfg, epochs):
     return m, time.time() - t0
 
 
+METRICS = ("mae", "corr", "mult_acc", "binary_accuracy")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=50,
+                    help="full budget = best-acc config's 50")
+    ap.add_argument("--seeds", type=int, default=5,
+                    help="torch seeds (>=5 for the parity evidence)")
+    ap.add_argument("--ours-seeds", type=int, default=None,
+                    help="our seeds (default: same as --seeds; the "
+                         "vmapped program makes extra seeds nearly free)")
     args = ap.parse_args()
+    ours_k = args.ours_seeds or args.seeds
 
     from factorized_tpu.config import best_acc_mosi_config
     from factorized_tpu.data import mosi
@@ -107,18 +136,42 @@ def main():
     data = mosi.get_data(seqlength=20)
     cfg = best_acc_mosi_config()
 
-    ours, t_ours = run_ours(data, cfg, args.epochs)
-    theirs, t_torch = run_torch(data, cfg, args.epochs)
+    ours, t_ours = run_ours_multiseed(data, cfg, args.epochs, ours_k)
+    theirs = []
+    t_torch = 0.0
+    for s in range(args.seeds):
+        m, dt = run_torch(data, cfg, args.epochs, seed=123 + 1000 * s)
+        theirs.append(m)
+        t_torch += dt
+        print(f"  torch seed {s}: " + " ".join(
+            f"{k}={m[k]:.4f}" for k in METRICS), file=sys.stderr)
 
     print("\n## Training-dynamics parity (synthetic MOSI, "
-          f"{args.epochs} epochs, best-acc config)\n")
-    print("| metric | factorized_tpu | torch-CPU reference math | delta |")
-    print("|---|---|---|---|")
-    for k in ("mae", "corr", "mult_acc", "binary_accuracy"):
-        d = abs(ours[k] - theirs[k])
-        print(f"| {k} | {ours[k]:.4f} | {theirs[k]:.4f} | {d:.4f} |")
-    print(f"| wall time (s) | {t_ours:.1f} | {t_torch:.1f} | "
-          f"{t_torch / max(t_ours, 1e-9):.1f}x |")
+          f"{args.epochs} epochs, best-acc config, "
+          f"{ours_k} ours / {args.seeds} torch seeds)\n")
+    print("| metric | ours mean+-std | torch mean+-std | gap of means "
+          "| gap % | ours best-of-K | torch best-of-K | best gap % |")
+    print("|---|---|---|---|---|---|---|---|")
+    for k in METRICS:
+        a = np.array([m[k] for m in ours], np.float64)
+        b = np.array([m[k] for m in theirs], np.float64)
+        gap = a.mean() - b.mean()
+        rel = 100.0 * abs(gap) / max(abs(b.mean()), 1e-9)
+        # the reference's actual protocol is best-over-runs: check.py
+        # nanmin (mae) / nanmax (everything else) across a directory
+        best = np.min if k == "mae" else np.max
+        ab, bb = best(a), best(b)
+        brel = 100.0 * abs(ab - bb) / max(abs(bb), 1e-9)
+        print(f"| {k} | {a.mean():.4f} +- {a.std():.4f} "
+              f"| {b.mean():.4f} +- {b.std():.4f} "
+              f"| {gap:+.4f} | {rel:.1f}% "
+              f"| {ab:.4f} | {bb:.4f} | {brel:.1f}% |")
+    print(f"| wall time (s) | {t_ours:.1f} ({ours_k} seeds vmapped) "
+          f"| {t_torch:.1f} | | | | | |")
+    print("\nper-seed ours:  " + "; ".join(
+        " ".join(f"{k}={m[k]:.3f}" for k in METRICS) for m in ours))
+    print("per-seed torch: " + "; ".join(
+        " ".join(f"{k}={m[k]:.3f}" for k in METRICS) for m in theirs))
 
 
 if __name__ == "__main__":
