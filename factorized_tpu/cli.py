@@ -317,7 +317,9 @@ def run_serve(args):
         tuned = predictor.autotune(X)
         print("autotuned batch sizes:", json.dumps(tuned),
               "-> using", predictor.batch_size)
-    serve_http(predictor, args.host, args.port)
+    serve_http(predictor, args.host, args.port,
+               micro_batch=not args.no_microbatch,
+               max_wait_ms=args.max_wait_ms)
     return 0
 
 
@@ -462,6 +464,12 @@ def build_parser():
     sp.add_argument("--autotune", action="store_true",
                     help="pick the serving batch size by throughput "
                          "before accepting traffic")
+    sp.add_argument("--no-microbatch", action="store_true",
+                    help="disable dynamic request coalescing (serialize "
+                         "requests behind a device lock instead)")
+    sp.add_argument("--max-wait-ms", type=float, default=3.0,
+                    help="micro-batch window after the first queued "
+                         "request")
     sp.set_defaults(func=run_serve)
 
     sp = sub.add_parser("multitrait",

@@ -172,34 +172,138 @@ class Predictor:
         }
 
 
+class MicroBatcher:
+    """Dynamic request coalescing for online serving.
+
+    The reference has no serving story at all; this is the TPU-idiomatic
+    answer to concurrent small requests: a single worker thread drains a
+    queue, concatenates waiting requests into ONE device batch (up to
+    ``max_batch`` samples, waiting at most ``max_wait_ms`` after the
+    first arrival), runs one padded forward, and scatters the results
+    back. N concurrent 2-sample requests cost one tunnel round-trip
+    instead of N — on-device latency is ~0.5 ms per 256-batch
+    (VALIDATION.md §5), so coalescing is nearly free compute-wise and
+    wins the entire serialized-RTT cost.
+
+    ``submit`` is thread-safe and blocks until the caller's slice is
+    ready; exceptions from the batched forward propagate to every
+    caller in that batch.
+    """
+
+    def __init__(self, predictor: Predictor, max_batch: Optional[int] = None,
+                 max_wait_ms: float = 3.0):
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.max_batch = int(max_batch or predictor.batch_size)
+        self.max_wait = max_wait_ms / 1e3
+        self.batches_run = 0       # observability: forwards executed
+        self.requests_served = 0   # vs requests coalesced into them
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="microbatcher")
+        self._thread.start()
+
+    def submit(self, x):
+        """x (n, t, d) -> predictions for exactly these n samples."""
+        import threading
+
+        x = np.asarray(x, np.float32)
+        # validate BEFORE enqueueing: a malformed request must fail
+        # alone, never poison the batch it would be coalesced into
+        t = self.predictor.cfg.seqlength
+        d = sum(self.predictor.cfg.input_dims)
+        if x.ndim != 3 or x.shape[1:] != (t, d):
+            raise ValueError(
+                f"expected input shape (n, {t}, {d}), got {x.shape}")
+        if x.shape[0] == 0:
+            return np.zeros((0,), np.float32)
+        box = {}
+        ev = threading.Event()
+        self._queue.put((x, box, ev))
+        ev.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["y"]
+
+    def _loop(self):
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                batch = [self._queue.get(timeout=0.1)]
+            except queue.Empty:
+                continue
+            total = batch[0][0].shape[0]
+            deadline = time.perf_counter() + self.max_wait
+            while total < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(item)
+                total += item[0].shape[0]
+            try:
+                y = self.predictor.predict(
+                    np.concatenate([b[0] for b in batch]))
+                o = 0
+                for x, box, ev in batch:
+                    box["y"] = y[o:o + x.shape[0]]
+                    o += x.shape[0]
+                    ev.set()
+                self.batches_run += 1
+                self.requests_served += len(batch)
+            except Exception as e:  # noqa: BLE001 - fan out to callers
+                for _, box, ev in batch:
+                    box["error"] = e
+                    ev.set()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
 def serve_http(predictor: Predictor, host: str = "127.0.0.1",
-               port: int = 8787):
+               port: int = 8787, micro_batch: bool = True,
+               max_wait_ms: float = 3.0):
     """Blocking JSON HTTP endpoint: POST /predict {"x": [[...t x d...]]}
     -> {"y": [...]}; GET /health -> model info.
 
-    Threaded server so a slow client can't stall other connections;
-    device access itself is serialized by a lock (one chip, one
-    compiled program — concurrency belongs in the batch dimension,
-    which ``Predictor.predict`` already pads/splits)."""
+    Threaded server so a slow client can't stall other connections.
+    With ``micro_batch`` (default) concurrent requests are coalesced
+    into single device batches by :class:`MicroBatcher`; otherwise
+    device access is serialized by a lock."""
     import threading
 
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     device_lock = threading.Lock()
+    batcher = (MicroBatcher(predictor, max_wait_ms=max_wait_ms)
+               if micro_batch else None)
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
             if self.path != "/health":
                 self.send_error(404)
                 return
-            body = json.dumps({
+            info = {
                 "status": "ok",
                 "model_type": predictor._name,
                 "task": predictor.cfg.task,
                 "seqlength": predictor.cfg.seqlength,
                 "d_total": sum(predictor.cfg.input_dims),
                 "batch_size": predictor.batch_size,
-            }).encode()
+                "micro_batch": batcher is not None,
+            }
+            if batcher is not None:
+                info["batches_run"] = batcher.batches_run
+                info["requests_served"] = batcher.requests_served
+            body = json.dumps(info).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -219,8 +323,11 @@ def serve_http(predictor: Predictor, host: str = "127.0.0.1",
                 x = np.asarray(payload["x"], np.float32)
                 if x.ndim == 2:
                     x = x[None]
-                with device_lock:
-                    y = predictor.predict(x)
+                if batcher is not None:
+                    y = batcher.submit(x)
+                else:
+                    with device_lock:
+                        y = predictor.predict(x)
                 status = 200
                 body = json.dumps({"y": np.asarray(y).tolist()}).encode()
             except Exception as e:  # noqa: BLE001 - report to client

@@ -133,6 +133,75 @@ class TestPredictor:
         assert all(r is not None and len(r["y"]) == 2 for r in results)
 
 
+class TestMicroBatcher:
+    class _Stub:
+        """Predictor stand-in: sum over (t, d); first call sleeps so
+        concurrent submits pile up in the queue and must coalesce."""
+
+        def __init__(self, first_call_sleep=0.0):
+            from types import SimpleNamespace
+
+            self.cfg = SimpleNamespace(seqlength=4, input_dims=[2, 1, 1])
+            self.batch_size = 64
+            self.calls = 0
+            self._sleep = first_call_sleep
+
+        def predict(self, X):
+            import time
+
+            self.calls += 1
+            if self.calls == 1 and self._sleep:
+                time.sleep(self._sleep)
+            return np.asarray(X, np.float32).sum(axis=(1, 2))
+
+    def test_concurrent_requests_coalesce_and_match(self):
+        from factorized_tpu.serve import MicroBatcher
+
+        stub = self._Stub(first_call_sleep=0.25)
+        mb = MicroBatcher(stub, max_wait_ms=200.0)
+        rng = np.random.default_rng(0)
+        xs = [rng.normal(size=(int(rng.integers(1, 4)), 4, 4)).astype(
+            np.float32) for _ in range(8)]
+        results = [None] * 8
+
+        def hit(i):
+            results[i] = mb.submit(xs[i])
+
+        ths = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+        [t.start() for t in ths]
+        [t.join(timeout=10) for t in ths]
+        mb.close()
+        for x, y in zip(xs, results):
+            np.testing.assert_allclose(y, x.sum(axis=(1, 2)), rtol=1e-6)
+        # the 8 requests ran in FEWER batched forwards (coalescing)
+        assert mb.requests_served == 8
+        assert mb.batches_run < 8
+        assert stub.calls == mb.batches_run
+
+    def test_bad_shape_fails_alone_without_poisoning(self):
+        from factorized_tpu.serve import MicroBatcher
+
+        stub = self._Stub()
+        mb = MicroBatcher(stub, max_wait_ms=1.0)
+        with pytest.raises(ValueError, match="expected input shape"):
+            mb.submit(np.zeros((2, 3, 4), np.float32))  # wrong t
+        # a good request right after still works
+        x = np.ones((2, 4, 4), np.float32)
+        np.testing.assert_allclose(mb.submit(x), x.sum(axis=(1, 2)))
+        mb.close()
+
+    def test_batch_cap_splits_oversized_waves(self):
+        from factorized_tpu.serve import MicroBatcher
+
+        stub = self._Stub()
+        stub.batch_size = 4  # tiny cap
+        mb = MicroBatcher(stub, max_wait_ms=1.0)
+        x = np.ones((10, 4, 4), np.float32)  # single request > cap is OK
+        y = mb.submit(x)
+        assert y.shape == (10,)
+        mb.close()
+
+
 class TestResume:
     def test_resume_continues_training(self, tmp_path):
         """Save with opt_state, resume, and verify training continues
