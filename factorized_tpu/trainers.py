@@ -677,6 +677,7 @@ def train_predictor(
     seed: int = 123,
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
+    resume_from: Optional[str] = None,
 ):
     """Discriminative baselines trained with pure task loss:
 
@@ -742,15 +743,18 @@ def train_predictor(
 
     opt = make_optimizer(optimizer, lr, cfg.momentum)
     opt_state = opt.init(params)
+    params, opt_state, start_epoch, resume_lr, resume_best = _maybe_resume(
+        resume_from, params, opt_state, logger)
     program = TrainProgram(None, cfg, "custom", opt, loss_fn=loss_fn,
                            eval_fn=eval_fn)
     Xb, yb, rem = make_batches(Xtr, _labels(ytr, cfg), cfg.batchsize, False)
     yv_l, yte_l = _labels(yv, cfg), _labels(yte, cfg)
-    scheduler = ReduceLROnPlateau(lr)
-    keeper = BestKeeper("min")
+    scheduler = ReduceLROnPlateau(resume_lr or lr)
+    keeper = _resume_keeper(BestKeeper("min"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
-        cfg.num_epochs, scheduler, keeper, logger, key
+        max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
+        jax.random.fold_in(key, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -759,5 +763,6 @@ def train_predictor(
     metrics = _score(logger, y_hat, yte_l, cfg, binary_threshold,
                      threshold_mode)
     logger.record("final", **metrics)
+    step = start_epoch + sum(1 for e in history if not e.get("diverged"))
     return {"metrics": metrics, "params": best_params, "history": history,
-            "best_valid": keeper.best}
+            "opt_state": opt_state, "best_valid": keeper.best, "step": step}

@@ -291,6 +291,39 @@ class TestResume:
         assert len(res2["history"]) == 2
         assert res2["step"] == 4
 
+    def test_resume_train_predictor(self, tmp_path):
+        """The discriminative-baseline trainer resumes too."""
+        from factorized_tpu import trainers
+        from factorized_tpu.config import MFMConfig
+        from factorized_tpu.utils.checkpoint import save_checkpoint
+        from factorized_tpu.utils.logging import RunLogger
+
+        rng = np.random.default_rng(0)
+        dims = (12, 4, 6)
+        d = sum(dims)
+        data = []
+        for n in (48, 16, 24):
+            X = rng.normal(size=(n, 6, d)).astype(np.float32)
+            y = (X.mean((1, 2)) * 3).astype(np.float32)
+            data.extend([X, y])
+        cfg = MFMConfig(input_dims=list(dims), h_dims=[8, 8, 8], memsize=8,
+                        zy_size=8, zl_size=8, za_size=8, zv_size=8,
+                        fy_size=8, fl_size=8, fa_size=8, fv_size=8,
+                        att1_shape=8, att2_shape=8, gamma1_shape=8,
+                        gamma2_shape=8, out_shape=8, seqlength=6,
+                        batchsize=16, num_epochs=2)
+        quiet = RunLogger(echo=False)
+        res1 = trainers.train_predictor(*data, "eflstm", cfg, h=8,
+                                        logger=quiet)
+        assert res1["step"] == 2
+        ck = str(tmp_path / "ck")
+        save_checkpoint(ck, res1["params"], opt_state=res1["opt_state"],
+                        step=res1["step"])
+        res2 = trainers.train_predictor(*data, "eflstm",
+                                        cfg.replace(num_epochs=4), h=8,
+                                        logger=quiet, resume_from=ck)
+        assert len(res2["history"]) == 2 and res2["step"] == 4
+
     def test_cli_resume_multiseed_conflict(self, tmp_path):
         """--resume with --seeds > 1 must error loudly, never be
         silently dropped (VERDICT r1 item 7)."""
