@@ -294,7 +294,7 @@ def run_predictor(args):
             lr=args.lr or cfg.lr or 0.01, optimizer=args.optimizer,
             logger=logger, seed=args.seed + trial,
             binary_threshold=info["threshold"] or 0.0,
-            threshold_mode=info["mode"],
+            threshold_mode=info["mode"], resume_from=args.resume,
         )
         logger.close()
         trial += 1
