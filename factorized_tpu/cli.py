@@ -57,11 +57,38 @@ def load_dataset(name, seqlength, data_root):
     return mod.get_data(seqlength, data_root=data_root)
 
 
+def make_autosnapshot(out, tag, cfg, every):
+    """Crash-resume auto-checkpointing (``--ckpt-every N``): every N
+    epochs overwrite ``<out>/ckpt_auto_<tag>`` with the CURRENT
+    (params, opt_state, absolute step, lr, best-valid) so an
+    interrupted run continues with ``--resume`` — a capability the
+    reference lacks entirely (SURVEY.md §5.4)."""
+    if not every:
+        return None
+    import math
+
+    from factorized_tpu.utils.checkpoint import save_checkpoint
+
+    def snap(epoch, params, opt_state, lr, best_valid):
+        if (epoch + 1) % every:
+            return
+        meta = cfg.to_dict()
+        meta["_resume_lr"] = lr
+        if best_valid is not None and math.isfinite(best_valid):
+            meta["_resume_best_valid"] = best_valid
+        save_checkpoint(f"{out}/ckpt_auto_{tag}", params,
+                        opt_state=opt_state, step=epoch + 1, config=meta)
+
+    return snap
+
+
 def dispatch_trainer(data, cfg, info, *, lr, logger, seed,
-                     resume_from=None):
+                     resume_from=None, snapshot=None):
     """The reference's driver if-chain (``mfm_mosi.py:1358-1369``).
-    Every trainer accepts ``resume_from`` (checkpoint dir)."""
-    kw = dict(logger=logger, seed=seed, lr=lr, resume_from=resume_from)
+    Every trainer accepts ``resume_from`` (checkpoint dir) and the
+    ``snapshot`` auto-checkpointing hook."""
+    kw = dict(logger=logger, seed=seed, lr=lr, resume_from=resume_from,
+              snapshot=snapshot)
     if info["threshold"] is not None:
         kw.update(binary_threshold=info["threshold"],
                   threshold_mode=info["mode"])
@@ -145,9 +172,12 @@ def run_dataset(args):
                           threshold_mode=info["mode"])
             res = train_mfm_multiseed(*data, cfg, **kw)
         else:
-            res = dispatch_trainer(data, cfg, info, lr=lr, logger=logger,
-                                   seed=args.seed + trial,
-                                   resume_from=args.resume)
+            res = dispatch_trainer(
+                data, cfg, info, lr=lr, logger=logger,
+                seed=args.seed + trial, resume_from=args.resume,
+                snapshot=make_autosnapshot(args.out,
+                                           f"{args.dataset}_{trial}", cfg,
+                                           args.ckpt_every))
         if args.save_ckpt and isinstance(res.get("params"), dict):
             from factorized_tpu.utils.checkpoint import save_checkpoint
 
@@ -207,9 +237,11 @@ def run_mosi_acc(args):
                 valid_metric="accuracy",
             )
         else:
-            res = trainers.train_mfm_acc(*data, cfg, logger=logger,
-                                         seed=args.seed + trial,
-                                         resume_from=args.resume)
+            res = trainers.train_mfm_acc(
+                *data, cfg, logger=logger, seed=args.seed + trial,
+                resume_from=args.resume,
+                snapshot=make_autosnapshot(args.out, f"mosi_acc_{trial}",
+                                           cfg, args.ckpt_every))
             if args.save_ckpt and isinstance(res.get("params"), dict):
                 from factorized_tpu.utils.checkpoint import save_checkpoint
 
@@ -295,6 +327,8 @@ def run_predictor(args):
             logger=logger, seed=args.seed + trial,
             binary_threshold=info["threshold"] or 0.0,
             threshold_mode=info["mode"], resume_from=args.resume,
+            snapshot=make_autosnapshot(args.out, f"{args.kind}_{trial}",
+                                       cfg, args.ckpt_every),
         )
         logger.close()
         trial += 1
@@ -364,7 +398,9 @@ def run_multitrait(args):
         logger.record("config", style=args.style, **cfg.to_dict())
         res = trainers.train_mfm_multitrait(
             *data, cfg, logger=logger, seed=args.seed + trial, lr=args.lr,
-            resume_from=args.resume)
+            resume_from=args.resume,
+            snapshot=make_autosnapshot(args.out, f"{args.style}_{trial}",
+                                       cfg, args.ckpt_every))
         if args.save_ckpt and isinstance(res.get("params"), dict):
             from factorized_tpu.utils.checkpoint import save_checkpoint
 
@@ -418,6 +454,10 @@ def build_parser():
                         help="save the best-params checkpoint under --out")
         sp.add_argument("--resume", default=None,
                         help="checkpoint dir to resume training from")
+        sp.add_argument("--ckpt-every", type=int, default=0,
+                        help="auto-save a crash-resume checkpoint "
+                             "(params+opt_state+step) every N epochs "
+                             "under --out")
         sp.add_argument("--seeds", type=int, default=1,
                         help=">1: train K seeds simultaneously (vmapped)")
 

@@ -79,12 +79,18 @@ def _loop(
     key,
     save_always=False,
     eval_metric=None,
+    snapshot=None,
 ):
     """The per-epoch host loop: jitted epoch -> full-set eval -> RLROP ->
     best-valid checkpointing — the shape of every reference trainer
     (``mfm_mosi.py:467-479``) — plus divergence detection (NaN/inf
     losses abort the run and are recorded; the reference would silently
-    checkpoint garbage)."""
+    checkpoint garbage).
+
+    ``snapshot``: optional crash-resume hook called after every healthy
+    epoch as ``snapshot(epoch, params, opt_state, lr, best_valid)``;
+    the callback decides its own cadence (see
+    ``cli.make_autosnapshot`` / ``--ckpt-every``)."""
     history = []
     lr = scheduler.lr
     # device-resident epoch tensors: uploaded once, reused every epoch
@@ -119,7 +125,17 @@ def _loop(
         logger.epoch(epoch, train_loss, valid, saved, lr=lr)
         history.append({"epoch": epoch, "train_loss": train_loss,
                         "valid": valid, "lr": lr})
+        if snapshot is not None:
+            snapshot(epoch, params, opt_state, lr, keeper.best)
     return params, opt_state, history
+
+
+def _offset_snapshot(snapshot, start_epoch):
+    """Shift a snapshot callback's epoch numbering by the resume
+    offset so recorded steps stay absolute across resumes."""
+    if snapshot is None or not start_epoch:
+        return snapshot
+    return lambda e, *a: snapshot(start_epoch + e, *a)
 
 
 def _score(logger, y_hat, y_test, cfg, binary_threshold, threshold_mode):
@@ -181,6 +197,7 @@ def train_mfm(
     include_remainder: bool = False,
     model_type: Optional[str] = None,
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     """Joint single-stage training of MFM / MFM_KL (or any registry
     model with the standard (decoded, reg, missing) return).
@@ -224,7 +241,8 @@ def train_mfm(
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
-        jax.random.fold_in(key, start_epoch)
+        jax.random.fold_in(key, start_epoch),
+        snapshot=_offset_snapshot(snapshot, start_epoch)
     )
 
     best_params = keeper.best_params if keeper.best_params is not None else params
@@ -248,6 +266,7 @@ def train_beta_vae(
     threshold_mode: str = "ge",
     include_remainder: bool = False,
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     """Two-stage schedule (``mfm_mosi.py:278-281,338-360``): stage 1
     trains gen+mmd for num_epochs, stage 2 disc+mmd for num_epochs;
@@ -294,6 +313,9 @@ def train_beta_vae(
             n_epochs, scheduler, keeper, logger,
             jax.random.fold_in(jax.random.fold_in(key, stage), done),
             save_always=True,
+            # total-epoch numbering across both stages (resume semantics)
+            snapshot=_offset_snapshot(snapshot,
+                                      (stage - 1) * cfg.num_epochs + done),
         )
         history.extend({**e, "stage": stage} for e in h)
         if h and h[-1].get("diverged"):
@@ -317,6 +339,7 @@ def train_mfm_missing(
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     logger = logger or RunLogger()
     Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
@@ -341,7 +364,8 @@ def train_mfm_missing(
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
-        jax.random.fold_in(key, start_epoch)
+        jax.random.fold_in(key, start_epoch),
+        snapshot=_offset_snapshot(snapshot, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -385,6 +409,7 @@ def train_mfm_test_zeros(
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     """Train plain MFM; at test time zero one modality's input slice at
     a time and score each (``mfm_mosi.py:577-596``)."""
@@ -411,7 +436,8 @@ def train_mfm_test_zeros(
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
-        jax.random.fold_in(key, start_epoch)
+        jax.random.fold_in(key, start_epoch),
+        snapshot=_offset_snapshot(snapshot, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -455,6 +481,7 @@ def train_seq2seq(
     logger: Optional[RunLogger] = None,
     seed: int = 123,
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     """Reconstruction-only training; reports per-modality test MSE
     (``mfm_mosi.py:769-916``)."""
@@ -479,7 +506,8 @@ def train_seq2seq(
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv,
         np.asarray(yv, np.float32), max(cfg.num_epochs - start_epoch, 0),
-        scheduler, keeper, logger, jax.random.fold_in(key, start_epoch)
+        scheduler, keeper, logger, jax.random.fold_in(key, start_epoch),
+        snapshot=_offset_snapshot(snapshot, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -510,6 +538,7 @@ def train_basic_missing(
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     logger = logger or RunLogger()
     Xtr, ytr, Xv, yv, Xte, yte = _prep_data(
@@ -533,7 +562,8 @@ def train_basic_missing(
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
-        jax.random.fold_in(key, start_epoch)
+        jax.random.fold_in(key, start_epoch),
+        snapshot=_offset_snapshot(snapshot, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 
@@ -563,6 +593,7 @@ def train_mfm_acc(
     logger: Optional[RunLogger] = None,
     seed: int = 123,
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     """Binary-accuracy MOSI variant (``mfm_mosi_acc.py:396-503``):
     labels binarized upstream (y >= 0), CE disc loss, and the valid
@@ -598,6 +629,7 @@ def train_mfm_acc(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
         jax.random.fold_in(key, start_epoch), eval_metric=eval_accuracy,
+        snapshot=_offset_snapshot(snapshot, start_epoch),
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
     logits = np.asarray(predict(best_params, Xte, jax.random.PRNGKey(0)))
@@ -614,6 +646,7 @@ def train_mfm_multitrait(
     logger: Optional[RunLogger] = None,
     seed: int = 123,
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     """Multi-trait regression — the reference's POM/IEMOCAP-style
     experiments, which exist there only as ``check.py``'s multi-trait
@@ -653,7 +686,8 @@ def train_mfm_multitrait(
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
-        jax.random.fold_in(key, start_epoch)
+        jax.random.fold_in(key, start_epoch),
+        snapshot=_offset_snapshot(snapshot, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
     predict = _std_predict(apply_fn, cfg)
@@ -678,6 +712,7 @@ def train_predictor(
     binary_threshold: float = 0.0,
     threshold_mode: str = "ge",
     resume_from: Optional[str] = None,
+    snapshot=None,
 ):
     """Discriminative baselines trained with pure task loss:
 
@@ -754,7 +789,8 @@ def train_predictor(
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
-        jax.random.fold_in(key, start_epoch)
+        jax.random.fold_in(key, start_epoch),
+        snapshot=_offset_snapshot(snapshot, start_epoch)
     )
     best_params = keeper.best_params if keeper.best_params is not None else params
 

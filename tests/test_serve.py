@@ -324,6 +324,46 @@ class TestResume:
                                         logger=quiet, resume_from=ck)
         assert len(res2["history"]) == 2 and res2["step"] == 4
 
+    def test_ckpt_every_autosnapshot_roundtrip(self, tmp_path):
+        """--ckpt-every writes a crash-resume checkpoint mid-run that
+        --resume can continue from with absolute step numbering."""
+        import json as _json
+
+        from factorized_tpu.cli import main
+        from factorized_tpu.utils.checkpoint import restore_checkpoint
+
+        cfg = {
+            "seqlength": 4, "h_dims": [8, 8, 8], "memsize": 8,
+            "zy_size": 8, "zl_size": 8, "za_size": 8, "zv_size": 8,
+            "fy_size": 8, "fl_size": 8, "fa_size": 8, "fv_size": 8,
+            "att1_shape": 8, "att2_shape": 8, "gamma1_shape": 8,
+            "gamma2_shape": 8, "out_shape": 8,
+            "batchsize": 32, "num_epochs": 3,
+        }
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        out = tmp_path / "runs"
+        rc = main(["mosi", "--config", str(cfg_path), "--mode", "single",
+                   "--type", "mfm", "--out", str(out), "--ckpt-every", "2"])
+        assert rc == 0
+        ck = out / "ckpt_auto_mosi_0"
+        assert ck.is_dir()
+        with open(ck / "meta.json") as f:
+            meta = _json.load(f)
+        # 3 epochs, every=2 -> last auto-save at absolute step 2
+        assert meta["step"] == 2
+        assert meta["has_opt_state"] is True
+        assert "_resume_lr" in meta["config"]
+        # the auto-checkpoint resumes: 2 of 5 epochs done -> 3 remain
+        rc = main(["mosi", "--config", str(cfg_path), "--mode", "single",
+                   "--type", "mfm", "--out", str(out), "--epochs", "5",
+                   "--resume", str(ck), "--ckpt-every", "2"])
+        assert rc == 0
+        with open(ck / "meta.json") as f:
+            meta2 = _json.load(f)
+        # resumed run saved at absolute epochs 4 (2+2) -> step 4
+        assert meta2["step"] == 4
+
     def test_cli_resume_multiseed_conflict(self, tmp_path):
         """--resume with --seeds > 1 must error loudly, never be
         silently dropped (VERDICT r1 item 7)."""
