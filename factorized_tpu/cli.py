@@ -167,6 +167,10 @@ def run_dataset(args):
 
             kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
                       n_seeds=args.seeds)
+            if args.seed_parallel:
+                from factorized_tpu.parallel import make_mesh
+
+                kw["mesh"] = make_mesh()
             if info["threshold"] is not None:
                 kw.update(binary_threshold=info["threshold"],
                           threshold_mode=info["mode"])
@@ -231,10 +235,15 @@ def run_mosi_acc(args):
                     "drop one of the flags")
             from factorized_tpu.parallel.multiseed import train_mfm_multiseed
 
+            kw = {}
+            if args.seed_parallel:
+                from factorized_tpu.parallel import make_mesh
+
+                kw["mesh"] = make_mesh()
             train_mfm_multiseed(
                 *data, cfg.replace(task="classification", output_dim=2),
                 n_seeds=args.seeds, logger=logger, seed=args.seed + trial,
-                valid_metric="accuracy",
+                valid_metric="accuracy", **kw,
             )
         else:
             res = trainers.train_mfm_acc(
@@ -460,6 +469,10 @@ def build_parser():
                              "under --out")
         sp.add_argument("--seeds", type=int, default=1,
                         help=">1: train K seeds simultaneously (vmapped)")
+        sp.add_argument("--seed-parallel", action="store_true",
+                        help="with --seeds>1: shard the seed axis over "
+                             "all visible devices (linear multi-chip "
+                             "scaling, zero collectives)")
 
     for name in DATASETS:
         sp = sub.add_parser(name)

@@ -105,13 +105,22 @@ def train_mfm_multiseed(
     threshold_mode: str = "ge",
     model_type: Optional[str] = None,
     valid_metric: str = "loss",
+    mesh=None,
 ):
     """Train ``n_seeds`` independent models of one config in a single
     vmapped program. Returns per-seed metrics plus the best seed.
 
     ``valid_metric='accuracy'`` reproduces the acc-maximizing trainer's
     semantics (``mfm_mosi_acc.py:479-485``: keep-on-best-ACCURACY with
-    >=, scheduler still stepping on the same number)."""
+    >=, scheduler still stepping on the same number).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis —
+    the SEED axis of every state tensor is sharded over it (n_seeds
+    must divide the axis size). Seeds are embarrassingly parallel, so
+    XLA partitions the whole epoch program per-device with ZERO
+    inter-chip collectives: the production search workload scales
+    linearly over chips (8 chips x K=8 -> 64 models per step). Batch
+    data is replicated (it is identical for every seed)."""
     logger = logger or RunLogger()
     X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
     Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
@@ -138,9 +147,24 @@ def train_mfm_multiseed(
     program = MultiSeedProgram(apply_fn, cfg, opt)
 
     Xb, yb, _ = make_batches(X_train, ytr, cfg.batchsize, False)
-    # device-resident across all epochs
-    Xb, yb = jax.device_put(Xb), jax.device_put(yb)
-    Xv_d = jax.device_put(Xv)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+        if n_seeds % n_dev:
+            raise ValueError(
+                f"n_seeds={n_seeds} must divide the mesh 'data' axis "
+                f"({n_dev}) for seed-parallel training")
+        seed_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, seed_sh)
+        opt_state = jax.device_put(opt_state, seed_sh)
+        Xb, yb = (jax.device_put(Xb, repl), jax.device_put(yb, repl))
+        Xv_d = jax.device_put(Xv, repl)
+    else:
+        # device-resident across all epochs
+        Xb, yb = jax.device_put(Xb), jax.device_put(yb)
+        Xv_d = jax.device_put(Xv)
 
     schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
     best = np.full(n_seeds, -np.inf if valid_metric == "accuracy"

@@ -202,6 +202,50 @@ class TestMultiSeed:
         assert res["best_seed"] == int(np.argmin(maes))
 
 
+class TestSeedParallel:
+    """Seed-parallel multiseed: the seed axis sharded over the mesh —
+    the production search workload's multi-chip scaling story (zero
+    collectives; each device trains its own seed slice)."""
+
+    def _data(self):
+        rng = np.random.default_rng(0)
+        dims = (12, 4, 6)
+        d = sum(dims)
+        data = []
+        for n in (48, 16, 24):
+            X = rng.normal(size=(n, 5, d)).astype(np.float32)
+            y = (X.mean((1, 2)) * 3).astype(np.float32)
+            data.extend([X, y])
+        return data, dims
+
+    def test_seed_sharded_matches_unsharded(self):
+        from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+        from factorized_tpu.utils.logging import RunLogger
+
+        data, dims = self._data()
+        cfg = CFG.replace(input_dims=list(dims), num_epochs=2, batchsize=16)
+        quiet = RunLogger(echo=False)
+        ref = train_mfm_multiseed(*data, cfg, n_seeds=8, logger=quiet)
+        mesh = make_mesh(8)
+        shd = train_mfm_multiseed(*data, cfg, n_seeds=8, logger=quiet,
+                                  mesh=mesh)
+        assert shd["best_seed"] == ref["best_seed"]
+        for a, b in zip(ref["results"], shd["results"]):
+            assert abs(a["metrics"]["mae"] - b["metrics"]["mae"]) < 5e-3
+            assert abs(a["best_valid"] - b["best_valid"]) < 5e-3
+
+    def test_seed_count_must_divide_mesh(self):
+        from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+        from factorized_tpu.utils.logging import RunLogger
+
+        data, dims = self._data()
+        cfg = CFG.replace(input_dims=list(dims), num_epochs=1, batchsize=16)
+        with pytest.raises(ValueError, match="must divide"):
+            train_mfm_multiseed(*data, cfg, n_seeds=6,
+                                logger=RunLogger(echo=False),
+                                mesh=make_mesh(8))
+
+
 class TestMultiSeedAcc:
     def test_accuracy_semantics(self):
         from factorized_tpu.parallel.multiseed import train_mfm_multiseed
