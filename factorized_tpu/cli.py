@@ -330,7 +330,12 @@ def run_predictor(args):
             cfg = cfg.replace(batchsize=args.batchsize)
         logger = RunLogger(args.out, run_id=f"{args.kind}_{trial}")
         logger.record("config", predictor_kind=args.kind, **cfg.to_dict())
-        trainers.train_predictor(
+        if args.save_ckpt and args.kind != "mfn":
+            raise SystemExit(
+                "--save-ckpt is only supported for --kind mfn (the "
+                "eflstm/self_attention param shapes are not derivable "
+                "from a config alone); drop the flag")
+        res = trainers.train_predictor(
             *data, args.kind, cfg, h=args.hidden, drop=args.drop,
             lr=args.lr or cfg.lr or 0.01, optimizer=args.optimizer,
             logger=logger, seed=args.seed + trial,
@@ -339,6 +344,18 @@ def run_predictor(args):
             snapshot=make_autosnapshot(args.out, f"{args.kind}_{trial}",
                                        cfg, args.ckpt_every),
         )
+        if args.save_ckpt and isinstance(res.get("params"), dict):
+            from factorized_tpu.utils.checkpoint import save_checkpoint
+
+            path = f"{args.out}/ckpt_mfn_{trial}"
+            meta_cfg = dict(cfg.to_dict(), model_type="mfn")
+            if res.get("history"):
+                meta_cfg["_resume_lr"] = res["history"][-1].get("lr")
+            save_checkpoint(path, res["params"],
+                            opt_state=res.get("opt_state"),
+                            step=res.get("step", cfg.num_epochs),
+                            config=meta_cfg)
+            logger.text(f"checkpoint saved to {path}")
         logger.close()
         trial += 1
         if args.mode != "search" or (args.trials and trial >= args.trials):

@@ -34,11 +34,11 @@ class Predictor:
         self.batch_size = batch_size
         name = model_type or cfg.model_type
         supported = ("mfm", "kl", "kl_ef", "missing",
-                     "m_a", "m_b", "m_c", "m_d")
+                     "m_a", "m_b", "m_c", "m_d", "mfn")
         if name not in supported:
             raise ValueError(
                 f"Predictor supports the standard-return model types "
-                f"{supported}, got {name!r} (s2s/bm/mfn have different "
+                f"{supported}, got {name!r} (s2s/bm have different "
                 f"outputs - load them through their trainers)")
         _, apply_fn = get_model(name)
         self._name = name
@@ -47,8 +47,11 @@ class Predictor:
         def fwd(params, x):
             out = apply_fn(params, x, cfg, key=jax.random.PRNGKey(0),
                            train=False)
-            decoded = out[0]
-            y_hat = decoded[3]
+            # the standalone MFN predictor returns predictions directly
+            # (the reference's released mfn_mae.pt model family,
+            # test_mosi.py:269-482); MFM-family models return
+            # (decoded, reg, missing) with y_hat = decoded[3]
+            y_hat = out if name == "mfn" else out[0][3]
             return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
                     else y_hat)
 

@@ -133,6 +133,43 @@ class TestPredictor:
         assert all(r is not None and len(r["y"]) == 2 for r in results)
 
 
+class TestMfnPredictorServing:
+    def test_mfn_baseline_checkpoint_serves(self, tmp_path):
+        """The standalone MFN predictor (the reference's released
+        mfn_mae.pt family) round-trips CLI --save-ckpt -> Predictor."""
+        import json as _json
+
+        from factorized_tpu.cli import main
+
+        cfg = {
+            "seqlength": 4, "h_dims": [8, 8, 8], "memsize": 8,
+            "zy_size": 8, "zl_size": 8, "za_size": 8, "zv_size": 8,
+            "fy_size": 8, "fl_size": 8, "fa_size": 8, "fv_size": 8,
+            "att1_shape": 8, "att2_shape": 8, "gamma1_shape": 8,
+            "gamma2_shape": 8, "out_shape": 8,
+            "batchsize": 32, "num_epochs": 1,
+        }
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        rc = main(["predictor", "--kind", "mfn", "--config", str(cfg_path),
+                   "--mode", "single", "--out", str(tmp_path / "runs"),
+                   "--save-ckpt"])
+        assert rc == 0
+        p = Predictor.from_checkpoint(str(tmp_path / "runs" / "ckpt_mfn_0"))
+        assert p._name == "mfn"
+        rng = np.random.default_rng(0)
+        y = p.predict(rng.normal(size=(5, p.cfg.seqlength, p.cfg.d_total)))
+        assert y.shape == (5,) and np.isfinite(y).all()
+
+    def test_save_ckpt_rejected_for_non_registry_kinds(self, tmp_path):
+        from factorized_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="only supported for"):
+            main(["predictor", "--kind", "eflstm", "--mode", "single",
+                  "--epochs", "1", "--out", str(tmp_path / "runs"),
+                  "--save-ckpt"])
+
+
 class TestMicroBatcher:
     class _Stub:
         """Predictor stand-in: sum over (t, d); first call sleeps so
