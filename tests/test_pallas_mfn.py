@@ -161,6 +161,34 @@ class TestTrainModeBitwiseParity:
                                        rtol=2e-4, atol=1e-5)
 
 
+class TestVmappedGrads:
+    def test_vmapped_grads_match_scan(self, force_pallas):
+        """The multiseed trainer vmaps the train step over seeds; the
+        streamed backward kernel reads pl.program_id(0) for TIME, and
+        vmap prepends a batch grid axis — JAX's grid_mapping.vmapped_dims
+        machinery must keep user axis numbering intact. Lock that in."""
+        K = 3
+        cfg = CFG.replace(att1_drop=0.3, gamma1_drop=0.25)
+        keys = jax.random.split(jax.random.PRNGKey(0), K)
+        vparams = jax.vmap(lambda k: mfm_mod.mfm_init(k, cfg))(keys)
+        loss_fn = make_loss_fn(mfm_mod.mfm_apply, cfg, "joint")
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 4, cfg.d_total))
+        y = jax.random.normal(jax.random.PRNGKey(2), (4,))
+        step_keys = jax.random.split(jax.random.PRNGKey(3), K)
+
+        def vgrads():
+            return jax.vmap(
+                lambda p, k: jax.grad(
+                    lambda q: loss_fn(q, x, y, k)[0])(p)
+            )(vparams, step_keys)
+
+        g_p = _with_flag(vgrads, True)
+        g_s = _with_flag(vgrads, False)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=2e-5)
+
+
 class TestDropoutActiveGrads:
     def test_grads_match_scan_with_dropout(self, force_pallas):
         """The masked backward paths (m1/m2/m3/m4 placement on
