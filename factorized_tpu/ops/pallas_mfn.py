@@ -155,8 +155,17 @@ def _step_fwd(h, c, mem, xp_t, masks_t, w, z_tot, train):
 
 
 def _fwd_kernel(z_tot, train, with_res, xp_ref, masks_ref, *refs):
+    """One forward timestep per grid iteration (streamed, like the
+    backward): weights VMEM-resident, (h, c, mem) carries in scratch,
+    per-step xp/mask blocks streamed in and residual blocks streamed
+    out. A whole-sequence grid=1 variant was measured first — it is the
+    same speed single-model but needs ~13.4MB VMEM, which DOUBLE-BUFFERS
+    past the 16MB limit once vmap prepends the multiseed batch axis
+    (K=16 OOM'd at 16.54MB). Streaming keeps the footprint ~4MB
+    independent of t and K."""
     w = {name: refs[k][:] for k, name in enumerate(_W_NAMES)}
-    outs = refs[len(_W_NAMES):]
+    nouts = 6 if with_res else 2
+    outs = refs[len(_W_NAMES):len(_W_NAMES) + nouts]
     if with_res:
         (hlast_ref, memlast_ref, allh_ref, allc_ref, allmem_ref,
          res_ref) = outs
@@ -164,28 +173,40 @@ def _fwd_kernel(z_tot, train, with_res, xp_ref, masks_ref, *refs):
         # inference: no residual buffers - saves the VMEM writes + HBM
         # copy-out per encode
         hlast_ref, memlast_ref = outs
-    t, n, _ = xp_ref.shape
-    H = w["wh"].shape[0]
-    mem_dim = w["a2w2"].shape[1]
+    h_scr, c_scr, mem_scr = refs[len(_W_NAMES) + nouts:]
+
+    k = pl.program_id(0)
+    n = h_scr.shape[0]
     sizes = _sizes(w)
     s3 = w["g1w2"].shape[0]
     offs, _ = _res_layout(w)
 
-    def put(i, nm, val):
-        o, wd = offs[nm]
-        res_ref[i, :, o:o + wd] = val
+    @pl.when(k == 0)
+    def _init():
+        h_scr[:] = jnp.zeros(h_scr.shape, jnp.float32)
+        c_scr[:] = jnp.zeros(c_scr.shape, jnp.float32)
+        mem_scr[:] = jnp.zeros(mem_scr.shape, jnp.float32)
 
-    def body_res(i, carry):
-        # forward step, storing the attention-block internals the
-        # backward needs (identical math to _step_fwd)
-        h, c, mem = carry
-        gates = xp_ref[i] + _mxu(h, w["wh"])
+    h, c, mem = h_scr[:], c_scr[:], mem_scr[:]
+
+    def put(nm, val):
+        o, wd = offs[nm]
+        res_ref[0, :, o:o + wd] = val
+
+    if not with_res:
+        masks_t = masks_ref[0] if train else None
+        new_h, new_c, new_mem = _step_fwd(h, c, mem, xp_ref[0], masks_t,
+                                          w, z_tot, train)
+    else:
+        # same math as _step_fwd, storing the attention-block internals
+        # the backward needs
+        gates = xp_ref[0] + _mxu(h, w["wh"])
         ig, fg, gg, og = jnp.split(gates, 4, axis=-1)
         new_c = _sig(fg) * c + _sig(ig) * jnp.tanh(gg)
         new_h = _sig(og) * jnp.tanh(new_c)
 
         if train:
-            m1, m2, m3, m4 = _mask_slices(masks_ref[i], sizes)
+            m1, m2, m3, m4 = _mask_slices(masks_ref[0], sizes)
             m34 = jnp.concatenate([m3, m4], axis=1)
         else:
             m1 = jnp.ones((n, sizes[0]), jnp.float32)
@@ -211,32 +232,26 @@ def _fwd_kernel(z_tot, train, with_res, xp_ref, masks_ref, *refs):
         g2 = _sig(_mxu(r3[:, s3:], w["g2w2"]) + w["g2b2"])
         new_mem = g1 * mem + g2 * chat
 
-        allh_ref[i] = new_h
-        allc_ref[i] = new_c
-        allmem_ref[i] = new_mem
-        put(i, "att", att)
-        put(i, "r1", r1)
-        put(i, "kg1", kg1)
-        put(i, "r2", r2)
-        put(i, "kg2", kg2)
-        put(i, "r3", r3)
-        put(i, "kg3", kg3)
-        put(i, "chat", chat)
-        put(i, "g1", g1)
-        put(i, "g2", g2)
-        return new_h, new_c, new_mem
+        allh_ref[0] = new_h
+        allc_ref[0] = new_c
+        allmem_ref[0] = new_mem
+        put("att", att)
+        put("r1", r1)
+        put("kg1", kg1)
+        put("r2", r2)
+        put("kg2", kg2)
+        put("r3", r3)
+        put("kg3", kg3)
+        put("chat", chat)
+        put("g1", g1)
+        put("g2", g2)
 
-    def body_lean(i, carry):
-        h, c, mem = carry
-        masks_t = masks_ref[i] if train else None
-        return _step_fwd(h, c, mem, xp_ref[i], masks_t, w, z_tot, train)
-
-    zeros_h = jnp.zeros((n, H), jnp.float32)
-    h, c, mem = jax.lax.fori_loop(
-        0, t, body_res if with_res else body_lean,
-        (zeros_h, zeros_h, jnp.zeros((n, mem_dim), jnp.float32)))
-    hlast_ref[:] = h
-    memlast_ref[:] = mem
+    h_scr[:] = new_h
+    c_scr[:] = new_c
+    mem_scr[:] = new_mem
+    # revisited blocks (constant index_map): copied out once at the end
+    hlast_ref[:] = new_h
+    memlast_ref[:] = new_mem
 
 
 def _bwd_kernel(z_tot, t, xp_ref, allhp_ref, allci_ref, allcp_ref,
@@ -375,9 +390,32 @@ def _fwd_call(xp, masks, weights, z_tot, train, with_res=True):
     H = H4 // 4
     mem_dim = weights["a2w2"].shape[1]
     kern = functools.partial(_fwd_kernel, z_tot, train, with_res)
+
+    def at_i(k):
+        return (k, 0, 0)
+
+    def const2(k):
+        return (0, 0)
+
+    def step_spec(width):
+        return pl.BlockSpec((1, n, width), at_i, memory_space=pltpu.VMEM)
+
+    if train:
+        masks_spec = step_spec(masks.shape[2])
+    else:
+        masks_spec = pl.BlockSpec(masks.shape, lambda k: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [step_spec(H4), masks_spec] + [
+        pl.BlockSpec(weights[nm].shape, const2, memory_space=pltpu.VMEM)
+        for nm in _W_NAMES
+    ]
     out_shape = [
         jax.ShapeDtypeStruct((n, H), jnp.float32),
         jax.ShapeDtypeStruct((n, mem_dim), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((n, H), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, mem_dim), const2, memory_space=pltpu.VMEM),
     ]
     if with_res:
         _, R = _res_layout(weights)
@@ -387,12 +425,25 @@ def _fwd_call(xp, masks, weights, z_tot, train, with_res=True):
             jax.ShapeDtypeStruct((t, n, mem_dim), jnp.float32),
             jax.ShapeDtypeStruct((t, n, R), jnp.float32),
         ]
+        out_specs += [step_spec(H), step_spec(H), step_spec(mem_dim),
+                      step_spec(R)]
+    kw = {}
+    if hasattr(pltpu, "CompilerParams"):
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))
     return pl.pallas_call(
         kern,
+        grid=(t,),
         out_shape=tuple(out_shape),
-        in_specs=_specs(2 + len(_W_NAMES)),
-        out_specs=tuple(_specs(len(out_shape))),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((n, H), jnp.float32),
+            pltpu.VMEM((n, H), jnp.float32),
+            pltpu.VMEM((n, mem_dim), jnp.float32),
+        ],
         interpret=_interpret(),
+        **kw,
     )(xp, masks, *[weights[nm] for nm in _W_NAMES])
 
 
@@ -506,36 +557,38 @@ def _encode_bwd(z_tot, train, res, grads):
 mfm_encode_pallas.defvjp(_encode_fwd, _encode_bwd)
 
 
-# The residual-storing forward (grid=1, everything VMEM-resident) is
-# the binding constraint now; the streamed backward's footprint is
-# weights + a few double-buffered per-step blocks, independent of t.
-# 14MB leaves ~2MB of the 16MB scoped-VMEM limit for Mosaic temporaries
-# (the v1 kernel measured ~0.9MB of such overhead).
-ENCODE_FWD_BUDGET = 14 * 1024 * 1024
+# Both kernels stream per-timestep blocks, so the footprint is
+# per-STEP, independent of t: weights (possibly double-buffered under
+# vmap, where each seed instance has its own weights) + 2x-buffered
+# step blocks + carries/temporaries. Budget leaves slack of the 16MB
+# scoped-VMEM limit for Mosaic temporaries.
+ENCODE_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def encode_fits(t, n, H, mem_dim, att_in, widths, mask_words=0) -> bool:
     """``mask_words``: t*n*sum(site sizes) when train-mode dropout masks
     ride along, 0 otherwise (eval or all-zero rates). ``widths`` are the
-    attention/gate weight sizes (elements). Sized for the residual-
-    storing forward — the largest buffer set of the fwd/bwd pair."""
+    attention/gate weight sizes (elements). Per-step ledger (both
+    kernels stream the time axis)."""
     # R = att (att_in) + 2*(s1+s2+s3+s4) + 3*mem; recover sum(sites)
     # from the mask words when they ride along, else from the widths
     if mask_words:
         sum_sites = mask_words // (t * n)
     else:
-        # eval: site sizes still drive R; widths = [att_in*s1, att_in*s2,
-        # (att_in+mem)*(s3+s4)]
+        # widths = [att_in*s1, att_in*s2, (att_in+mem)*(s3+s4)]
         sum_sites = (widths[0] // att_in + widths[1] // att_in
                      + widths[2] // (att_in + mem_dim))
     R = att_in + 2 * sum_sites + 3 * mem_dim
+    step_words = n * (
+        2 * 4 * H                  # xp in + dxp out
+        + 3 * H + mem_dim          # allh/allc x2 + allmem
+        + R                        # residual block
+        + sum_sites                # mask block
+    )
     words = (
-        t * n * 4 * H              # xp
-        + 2 * t * n * H            # allh, allc
-        + t * n * mem_dim          # allmem
-        + t * n * R                # residual buffer
-        + mask_words
-        + 4 * H * H + sum(widths)  # weights (one copy)
+        2 * 2 * (4 * H * H + sum(widths))  # weights + dw, 2x-buffered
+        + 2 * step_words           # double-buffered step blocks
+        + 3 * n * H                # carries scratch
         + 8 * n * max(H, att_in)   # step temporaries
     )
-    return words * 4 <= ENCODE_FWD_BUDGET
+    return words * 4 <= ENCODE_VMEM_BUDGET

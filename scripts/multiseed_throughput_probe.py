@@ -9,14 +9,16 @@ with the sweep and the best K.
 
 Usage: python scripts/multiseed_throughput_probe.py [--ks 8,16,32,64]
 
-Measured 2026-08-16 on one v5e chip (best-acc config, batch 32, t=20):
-  K=8  -> 2018 model-steps/s   (155 ms/epoch for 8 models)
-  K=16 -> 1919 model-steps/s
-  K=32 -> 1655 model-steps/s
-  K=64 -> 1387 model-steps/s
-K=8 (the default n_seeds) is the sweet spot — 233x the hardened
-torch-CPU baseline (8.64 steps/s) per chip; throughput falls
-monotonically beyond it (the K-batched small GEMMs go HBM-bound).
+Measured 2026-08-16 on one v5e chip (best-acc config, batch 32, t=20),
+with the v2 STREAMED Pallas encode active under vmap (the v1 kernel
+fell back to the XLA scan here, and its grid=1 fwd OOM'd VMEM at K>=16
+once vmap double-buffered the per-seed blocks):
+  K=8  -> 2252 model-steps/s   (was 2018 on the scan path)
+  K=16 -> 2358 model-steps/s   (was 1919)
+  K=32 -> 2478 model-steps/s   (was 1655)  <- new sweet spot, 287x/chip
+  K=64 -> 2320 model-steps/s   (was 1387)
+The default n_seeds stays 8 (per-config wall time matters for search
+interactivity); pass --seeds 32 for maximum chip utilization.
 """
 import argparse
 import json
