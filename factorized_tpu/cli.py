@@ -47,14 +47,33 @@ DATASETS = {
                 include_remainder=True),
     "mmmo": dict(task="regression", threshold=3.5, mode="gt",
                  input_dims=[300, 74, 36], output_dim=1),
+    # MOSI rebuilt from the PUBLIC CMU-MultimodalSDK .csd releases
+    # (the reference README's download pointer, README.md:28-30); the
+    # audio/visual dims depend on the csd files, so input_dims are
+    # patched after loading (data/mmsdk.py LAST_INPUT_DIMS)
+    "mosi_sdk": dict(task="regression", threshold=0.0, mode="ge",
+                     input_dims=[300, 74, 47], output_dim=1),
 }
 
 
 def load_dataset(name, seqlength, data_root):
-    from factorized_tpu.data import mmmo, mosi, moud, youtube
+    from factorized_tpu.data import mmmo, mmsdk, mosi, moud, youtube
 
-    mod = {"mosi": mosi, "moud": moud, "you": youtube, "mmmo": mmmo}[name]
+    mod = {"mosi": mosi, "moud": moud, "you": youtube, "mmmo": mmmo,
+           "mosi_sdk": mmsdk}[name]
     return mod.get_data(seqlength, data_root=data_root)
+
+
+def _dataset_info(name):
+    """DATASETS entry, with input_dims patched from the loaded csd
+    widths for mosi_sdk (call AFTER load_dataset)."""
+    info = DATASETS[name]
+    if name == "mosi_sdk":
+        from factorized_tpu.data import mmsdk
+
+        if mmsdk.LAST_INPUT_DIMS:
+            info = dict(info, input_dims=list(mmsdk.LAST_INPUT_DIMS))
+    return info
 
 
 def make_autosnapshot(out, tag, cfg, every):
@@ -115,10 +134,10 @@ def dispatch_trainer(data, cfg, info, *, lr, logger, seed,
 
 
 def run_dataset(args):
-    info = DATASETS[args.dataset]
     base = (MFMConfig.from_json(args.config) if args.config
             else MFMConfig(seqlength=20))
     data = load_dataset(args.dataset, base.seqlength, args.data_root)
+    info = _dataset_info(args.dataset)
     rng = random.Random(args.seed)
 
     trial = 0
@@ -128,6 +147,9 @@ def run_dataset(args):
                                        model_type=args.type,
                                        missing=args.missing,
                                        zeros=args.zeros)
+            if args.dataset == "mosi_sdk":
+                # csd feature widths differ from the lab pickles
+                cfg = cfg.replace(input_dims=info["input_dims"])
         elif args.mode == "best":
             cfg = best_acc_mosi_config(model_type=args.type,
                                        missing=args.missing,
@@ -310,7 +332,7 @@ def run_predictor(args):
     from factorized_tpu.config import best_mfn_mosi_config
 
     data = load_dataset(args.dataset, 20, args.data_root)
-    info = DATASETS[args.dataset]
+    info = _dataset_info(args.dataset)
     rng = random.Random(args.seed)
     trial = 0
     while True:

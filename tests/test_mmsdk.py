@@ -1,0 +1,183 @@
+"""CMU-MultimodalSDK (.csd) adapter: fixture csd files built with h5py,
+alignment/padding/split/normalization checked against numpy oracles."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from factorized_tpu.data import mmsdk
+
+
+def write_csd(path, root, segments):
+    """segments: {seg_id: (features, intervals)}"""
+    with h5py.File(path, "w") as f:
+        data = f.create_group(root).create_group("data")
+        for seg_id, (feats, ivs) in segments.items():
+            g = data.create_group(seg_id)
+            g.create_dataset("features", data=np.asarray(feats, np.float32))
+            g.create_dataset("intervals", data=np.asarray(ivs, np.float64))
+
+
+def make_fixture(tmp_path, n_videos=4, segs_per_video=2, words=3,
+                 d_text=6, d_audio=4, d_visual=3, long_segment=None):
+    """Deterministic csd quartet. Audio rows land at 10Hz, visual at
+    5Hz; word i spans [i, i+1) seconds."""
+    rng = np.random.default_rng(0)
+    text, audio, visual, labels = {}, {}, {}, {}
+    for v in range(n_videos):
+        vid = f"vid{v:02d}"
+        for s in range(segs_per_video):
+            seg_id = f"{vid}[{s}]"
+            n = long_segment if (long_segment and v == 0 and s == 0) \
+                else words
+            w_iv = np.stack([np.arange(n), np.arange(n) + 1.0], axis=1)
+            text[seg_id] = (rng.normal(size=(n, d_text)), w_iv)
+            m_a = 10 * n
+            a_iv = np.stack([np.arange(m_a) / 10.0,
+                             np.arange(m_a) / 10.0 + 0.1], axis=1)
+            audio[seg_id] = (rng.normal(size=(m_a, d_audio)), a_iv)
+            m_v = 5 * n
+            v_iv = np.stack([np.arange(m_v) / 5.0,
+                             np.arange(m_v) / 5.0 + 0.2], axis=1)
+            visual[seg_id] = (rng.normal(size=(m_v, d_visual)), v_iv)
+            labels[seg_id] = (np.array([[(v + s) % 5 - 2.0]]),
+                              np.array([[0.0, n * 1.0]]))
+    root = tmp_path / "csd"
+    root.mkdir(exist_ok=True)
+    write_csd(root / "CMU_MOSI_TimestampedWordVectors.csd", "glove", text)
+    write_csd(root / "CMU_MOSI_COVAREP.csd", "COVAREP", audio)
+    write_csd(root / "CMU_MOSI_Visual_Facet_41.csd", "FACET", visual)
+    write_csd(root / "CMU_MOSI_Opinion_Labels.csd", "Opinion", labels)
+    return str(root)
+
+
+class TestAlignment:
+    def test_overlap_averaging_oracle(self):
+        words = np.array([[0.0, 1.0], [1.0, 2.0]])
+        feats = np.array([[1.0], [3.0], [10.0]], np.float32)
+        ivs = np.array([[0.0, 0.5], [0.5, 1.0], [1.0, 2.0]])
+        out = mmsdk.align_to_words(words, feats, ivs)
+        np.testing.assert_allclose(out, [[2.0], [10.0]])
+
+    def test_boundary_touching_row_excluded(self):
+        # a row ending exactly at the word start does not overlap
+        words = np.array([[1.0, 2.0]])
+        feats = np.array([[5.0], [7.0]], np.float32)
+        ivs = np.array([[0.0, 1.0], [1.0, 1.5]])
+        out = mmsdk.align_to_words(words, feats, ivs)
+        np.testing.assert_allclose(out, [[7.0]])
+
+    def test_empty_window_gives_zeros_and_nan_zeroed(self):
+        words = np.array([[5.0, 6.0], [0.0, 1.0]])
+        feats = np.array([[np.nan, 2.0]], np.float32)
+        ivs = np.array([[0.0, 1.0]])
+        out = mmsdk.align_to_words(words, feats, ivs)
+        np.testing.assert_allclose(out, [[0.0, 0.0], [0.0, 2.0]])
+
+
+class TestPadding:
+    def test_left_pad_short(self):
+        arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+        out = mmsdk._pad_keep_last(arr, 4)
+        assert out.shape == (4, 3)
+        np.testing.assert_array_equal(out[:2], 0.0)
+        np.testing.assert_array_equal(out[2:], arr)
+
+    def test_truncate_keeps_last(self):
+        arr = np.arange(15, dtype=np.float32).reshape(5, 3)
+        out = mmsdk._pad_keep_last(arr, 2)
+        np.testing.assert_array_equal(out, arr[3:])
+
+
+class TestEndToEnd:
+    def test_shapes_split_and_normalization(self, tmp_path):
+        root = make_fixture(tmp_path, n_videos=4, segs_per_video=2,
+                            words=3, long_segment=9)
+        out = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        X_tr, y_tr, X_va, y_va, X_te, y_te = out
+        # 2 train videos x 2 segs, 1 valid, 1 test
+        assert X_tr.shape == (4, 5, 6 + 4 + 3)
+        assert X_va.shape == (2, 5, 13)
+        assert X_te.shape == (2, 5, 13)
+        assert y_tr.shape == (4,)
+        assert mmsdk.LAST_INPUT_DIMS == [6, 4, 3]
+        # visual block max-abs normalized by TRAIN stats
+        vis_tr = X_tr[:, :, 10:]
+        assert np.nanmax(np.abs(vis_tr)) <= 1.0 + 1e-6
+        # split is by sorted video id: vid00+vid01 train, vid02 valid
+        assert np.isfinite(X_tr).all()
+
+    def test_long_segment_keeps_last_words(self, tmp_path):
+        root = make_fixture(tmp_path, n_videos=4, long_segment=9)
+        out = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        X_tr = out[0]
+        # vid00[0] is the 9-word segment; its padded row 0 is a REAL
+        # word (truncation keeps the last 5), so text block is nonzero
+        assert np.abs(X_tr[0, 0, :6]).sum() > 0
+
+    def test_short_segment_left_padded(self, tmp_path):
+        root = make_fixture(tmp_path)
+        out = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        X_tr = out[0]
+        # 3-word segments at seqlength 5: first two rows all-zero
+        np.testing.assert_array_equal(X_tr[0, :2], 0.0)
+        assert np.abs(X_tr[0, 2:]).sum() > 0
+
+    def test_split_too_large_raises(self, tmp_path):
+        root = make_fixture(tmp_path)
+        with pytest.raises(ValueError, match="split"):
+            mmsdk.get_data(seqlength=5, data_root=root, split=(52, 10))
+
+    def test_default_split_scales_to_small_datasets(self, tmp_path):
+        root = make_fixture(tmp_path, n_videos=4, segs_per_video=1)
+        out = mmsdk.get_data(seqlength=5, data_root=root)
+        X_tr, _, X_va, _, X_te, _ = out
+        # 4 videos -> proportional (2, 1, 1), one segment each
+        assert (X_tr.shape[0], X_va.shape[0], X_te.shape[0]) == (2, 1, 1)
+
+    def test_missing_file_message(self, tmp_path):
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(FileNotFoundError, match="data-root"):
+            mmsdk.get_data(data_root=str(tmp_path / "empty"))
+
+    def test_normalize_covarep(self, tmp_path):
+        root = make_fixture(tmp_path)
+        out = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1),
+                             normalize_covarep=True)
+        aud_tr = out[0][:, :, 6:10]
+        assert np.nanmax(np.abs(aud_tr)) <= 1.0 + 1e-6
+
+    def test_trains_one_epoch(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from factorized_tpu.config import MFMConfig
+        from factorized_tpu.models import get_model
+        from factorized_tpu.train import TrainProgram, make_optimizer
+
+        root = make_fixture(tmp_path)
+        X_tr, y_tr, *_ = mmsdk.get_data(seqlength=5, data_root=root,
+                                        split=(2, 1))
+        cfg = MFMConfig(
+            input_dims=mmsdk.LAST_INPUT_DIMS, seqlength=5, batchsize=2,
+            h_dims=[4, 4, 4], memsize=4, zy_size=4, zl_size=4, za_size=4,
+            zv_size=4, fy_size=4, fl_size=4, fa_size=4, fv_size=4,
+            att1_shape=4, att2_shape=4, gamma1_shape=4, gamma2_shape=4,
+        )
+        init, apply_fn = get_model("mfm")
+        params = init(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer("adam", 1e-3)
+        program = TrainProgram(apply_fn, cfg, "joint", opt)
+        Xb = jnp.asarray(X_tr.swapaxes(0, 1)[None, :, :2])  # (1,t,n,d)
+        yb = jnp.asarray(y_tr[None, :2])
+        _, _, loss = program.epoch(params, opt.init(params), Xb, yb,
+                                   jax.random.PRNGKey(1),
+                                   jnp.asarray(1e-3, jnp.float32))
+        assert np.isfinite(float(loss))
+
+
+class TestSegmentIds:
+    def test_split_segment_id(self):
+        assert mmsdk.split_segment_id("abc[12]") == ("abc", 12)
+        assert mmsdk.split_segment_id("noindex") == ("noindex", 0)
