@@ -390,7 +390,10 @@ def run_serve(args):
 
     from factorized_tpu.serve import Predictor, serve_http
 
-    predictor = Predictor.from_checkpoint(args.checkpoint)
+    if args.exported:
+        predictor = Predictor.from_exported(args.exported)
+    else:
+        predictor = Predictor.from_checkpoint(args.checkpoint)
     if args.autotune:
         # tune on synthetic traffic shaped like the model's input
         d = sum(predictor.cfg.input_dims)
@@ -399,6 +402,10 @@ def run_serve(args):
         tuned = predictor.autotune(X)
         print("autotuned batch sizes:", json.dumps(tuned),
               "-> using", predictor.batch_size)
+    if args.export:
+        out = predictor.export(args.export)
+        print(f"exported AOT artifact to {out}")
+        return 0
     serve_http(predictor, args.host, args.port,
                micro_batch=not args.no_microbatch,
                max_wait_ms=args.max_wait_ms)
@@ -550,7 +557,16 @@ def build_parser():
     sp.set_defaults(func=run_predictor)
 
     sp = sub.add_parser("serve", help="JSON-over-HTTP inference endpoint")
-    sp.add_argument("--checkpoint", required=True)
+    group = sp.add_mutually_exclusive_group(required=True)
+    group.add_argument("--checkpoint")
+    group.add_argument("--exported",
+                       help="serve from a Predictor.export AOT artifact "
+                            "(no model code / checkpoint needed)")
+    sp.add_argument("--export", default=None, metavar="DIR",
+                    help="compile + serialize the forward (weights "
+                         "embedded) to DIR via jax.export, then exit; "
+                         "combine with --autotune to bake the tuned "
+                         "batch size into the artifact")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8787)
     sp.add_argument("--autotune", action="store_true",

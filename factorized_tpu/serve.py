@@ -175,6 +175,80 @@ class Predictor:
         }
 
 
+    # ------------------------------------------------ AOT export/load
+
+    def export(self, path: str):
+        """Serialize the jitted forward into ONE portable artifact via
+        ``jax.export`` — weights ride along as closure constants, so
+        the serving host needs jax and this file, not the framework's
+        model code or a checkpoint. The artifact is compiled AND
+        platform-tagged for the CURRENT backend at the predictor's
+        static batch shape (`predict` always pads to it).
+
+        Writes ``<path>/exported.bin`` + ``<path>/meta.json``."""
+        import os
+
+        from jax import export as jexport
+
+        t, d = self.cfg.seqlength, sum(self.cfg.input_dims)
+        x_spec = jax.ShapeDtypeStruct((t, self.batch_size, d),
+                                      jnp.float32)
+        params = self.params
+        fwd = self._fwd
+        exp = jexport.export(jax.jit(lambda x: fwd(params, x)))(x_spec)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "exported.bin"), "wb") as f:
+            f.write(exp.serialize())
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({
+                "config": self.cfg.to_dict(),
+                "model_type": self._name,
+                "batch_size": int(self.batch_size),
+                "platforms": list(exp.platforms),
+            }, f)
+        return path
+
+    @classmethod
+    def from_exported(cls, path: str) -> "ExportedPredictor":
+        return ExportedPredictor(path)
+
+
+class ExportedPredictor(Predictor):
+    """Serve from a ``Predictor.export`` artifact: same numpy-in/out
+    ``predict`` (padding to the artifact's fixed batch shape), no model
+    code or params needed. The batch size is BAKED INTO the artifact —
+    ``autotune`` is unavailable (tune before exporting)."""
+
+    def __init__(self, path: str):
+        import os
+
+        from jax import export as jexport
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        from factorized_tpu.config import MFMConfig as _Cfg
+
+        self.cfg = _Cfg(**{k: v for k, v in meta["config"].items()
+                           if k in _Cfg.__dataclass_fields__})
+        self._name = meta["model_type"]
+        self.batch_size = int(meta["batch_size"])
+        self.params = ()  # weights live inside the artifact
+        with open(os.path.join(path, "exported.bin"), "rb") as f:
+            exp = jexport.deserialize(bytearray(f.read()))
+        backend = jax.default_backend()
+        if backend not in exp.platforms:
+            raise ValueError(
+                f"artifact was exported for {list(exp.platforms)}, "
+                f"this process runs on {backend!r} — re-export on the "
+                f"serving platform")
+        self._fwd = lambda params, x: exp.call(x)
+
+    def autotune(self, *a, **kw):
+        raise NotImplementedError(
+            "the exported artifact has a fixed batch shape; run "
+            "autotune() before export()")
+
+
 class MicroBatcher:
     """Dynamic request coalescing for online serving.
 

@@ -181,3 +181,35 @@ class TestSegmentIds:
     def test_split_segment_id(self):
         assert mmsdk.split_segment_id("abc[12]") == ("abc", 12)
         assert mmsdk.split_segment_id("noindex") == ("noindex", 0)
+
+
+class TestMalformedFiles:
+    """Skip-vs-raise decisions for damaged csd files (the same policy
+    as the real-data parsers: tolerate per-segment gaps, raise on
+    structural corruption)."""
+
+    def test_empty_csd_raises(self, tmp_path):
+        root = make_fixture(tmp_path)
+        with h5py.File(f"{root}/CMU_MOSI_COVAREP.csd", "w"):
+            pass  # truncate to an empty file
+        with pytest.raises(ValueError, match="empty csd"):
+            mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+
+    def test_unlabeled_segment_skipped(self, tmp_path):
+        root = make_fixture(tmp_path, n_videos=4, segs_per_video=2)
+        # drop one segment's label: that segment silently disappears
+        path = f"{root}/CMU_MOSI_Opinion_Labels.csd"
+        with h5py.File(path, "a") as f:
+            rootname = list(f.keys())[0]
+            del f[rootname]["data"]["vid00[1]"]
+        out = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        assert out[0].shape[0] == 3  # 4 train segments - 1 unlabeled
+
+    def test_segment_missing_one_modality_zero_filled(self, tmp_path):
+        root = make_fixture(tmp_path, n_videos=4, segs_per_video=2)
+        with h5py.File(f"{root}/CMU_MOSI_COVAREP.csd", "a") as f:
+            rootname = list(f.keys())[0]
+            del f[rootname]["data"]["vid00[0]"]
+        out = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        aud = out[0][0, :, 6:10]  # first train segment's audio block
+        np.testing.assert_array_equal(aud, 0.0)

@@ -57,6 +57,40 @@ class TestPredictor:
         np.testing.assert_allclose(y_batched, y_single, rtol=1e-4,
                                    atol=1e-5)
 
+    def test_export_roundtrip(self, trained_ckpt, tmp_path):
+        """AOT artifact: export the jitted forward (weights embedded),
+        reload WITHOUT the checkpoint, predictions match."""
+        from factorized_tpu.serve import ExportedPredictor
+
+        p = Predictor.from_checkpoint(trained_ckpt)
+        p.batch_size = 8
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(11, p.cfg.seqlength, p.cfg.d_total)).astype(
+            np.float32)
+        y_ref = p.predict(X)
+        art = p.export(str(tmp_path / "artifact"))
+
+        q = Predictor.from_exported(art)
+        assert isinstance(q, ExportedPredictor)
+        assert q.batch_size == 8
+        assert q.cfg.seqlength == p.cfg.seqlength
+        y = q.predict(X)
+        np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-6)
+        with pytest.raises(NotImplementedError):
+            q.autotune(X)
+
+    def test_export_cli(self, trained_ckpt, tmp_path):
+        from factorized_tpu.cli import main
+
+        art = tmp_path / "art"
+        rc = main(["serve", "--checkpoint", trained_ckpt,
+                   "--export", str(art)])
+        assert rc == 0
+        assert (art / "exported.bin").exists()
+        q = Predictor.from_exported(str(art))
+        X = np.zeros((3, q.cfg.seqlength, q.cfg.d_total), np.float32)
+        assert q.predict(X).shape == (3,)
+
     def test_autotune_picks_a_candidate(self, trained_ckpt):
         p = Predictor.from_checkpoint(trained_ckpt)
         rng = np.random.default_rng(2)
