@@ -391,6 +391,11 @@ def run_serve(args):
     from factorized_tpu.serve import Predictor, serve_http
 
     if args.exported:
+        if args.autotune or args.export:
+            raise SystemExit(
+                "--exported serves a fixed-batch-shape artifact: "
+                "--autotune/--export only apply when loading from "
+                "--checkpoint (tune/export before deployment)")
         predictor = Predictor.from_exported(args.exported)
     else:
         predictor = Predictor.from_checkpoint(args.checkpoint)

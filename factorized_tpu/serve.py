@@ -70,6 +70,22 @@ class Predictor:
         state, _ = restore_checkpoint(path, target={"params": template})
         return cls(cfg, state["params"], **kw)
 
+    def _empty_result(self):
+        """Shape-correct zero-length result: (0,) for regression, but
+        (0, C) logits for classification (the nonzero-input contract)."""
+        if self.cfg.task == "classification":
+            return np.zeros((0, self.cfg.output_dim), np.float32)
+        return np.zeros((0,), np.float32)
+
+    def _pad_to_batch(self, chunk):
+        """Zero-pad rows up to the static serving batch size. Returns
+        (padded, n_pad)."""
+        pad = self.batch_size - chunk.shape[0]
+        if pad > 0:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+        return chunk, max(pad, 0)
+
     def predict(self, X):
         """X batch-major (n, t, d_total) numpy -> predictions (n,) or
         logits (n, C). Pads the final partial batch to keep shapes
@@ -77,15 +93,11 @@ class Predictor:
         X = np.asarray(X, np.float32)
         n = X.shape[0]
         if n == 0:
-            return np.zeros((0,), np.float32)
+            return self._empty_result()
         outs = []
         B = self.batch_size
         for s in range(0, n, B):
-            chunk = X[s:s + B]
-            pad = B - chunk.shape[0]
-            if pad:  # ALWAYS pad partial batches -> one compiled shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            chunk, pad = self._pad_to_batch(X[s:s + B])
             xt = jnp.asarray(chunk.swapaxes(0, 1))
             y = np.asarray(self._fwd(self.params, xt))
             outs.append(y[: B - pad] if pad else y)
@@ -141,11 +153,8 @@ class Predictor:
         forwards with a data dependency (so XLA cannot elide them),
         runs once after warmup, and the wall time divides by
         ``iters``."""
-        X = np.asarray(X, np.float32)[: self.batch_size]
-        pad = self.batch_size - X.shape[0]
-        if pad > 0:
-            X = np.concatenate(
-                [X, np.zeros((pad,) + X.shape[1:], np.float32)])
+        X, _ = self._pad_to_batch(np.asarray(X, np.float32)
+                                  [: self.batch_size])
         xt = jax.device_put(jnp.asarray(X.swapaxes(0, 1)))
         params = jax.device_put(self.params)
         fwd = self._fwd
@@ -296,7 +305,11 @@ class MicroBatcher:
             raise ValueError(
                 f"expected input shape (n, {t}, {d}), got {x.shape}")
         if x.shape[0] == 0:
-            return np.zeros((0,), np.float32)
+            return self.predictor._empty_result()
+        if self._stop.is_set():
+            raise RuntimeError(
+                "MicroBatcher is closed - no worker will serve this "
+                "request")
         box = {}
         ev = threading.Event()
         self._queue.put((x, box, ev))
@@ -341,8 +354,19 @@ class MicroBatcher:
                     ev.set()
 
     def close(self):
+        import queue
+
         self._stop.set()
         self._thread.join(timeout=2)
+        # fail any request that raced the shutdown instead of letting
+        # its caller block forever on ev.wait()
+        while True:
+            try:
+                _, box, ev = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            box["error"] = RuntimeError("MicroBatcher closed")
+            ev.set()
 
 
 def serve_http(predictor: Predictor, host: str = "127.0.0.1",
