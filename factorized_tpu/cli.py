@@ -432,11 +432,22 @@ def run_test_attention(args):
 
 def run_multitrait(args):
     """POM/IEMOCAP-style multi-trait regression (present in the
-    reference only as check.py's aggregation modes)."""
+    reference only as check.py's aggregation modes), plus the PUBLIC
+    CMU-MOSEI path (``--style mosei_sdk``: SDK .csd files whose label
+    sequence carries sentiment + 6 emotion columns)."""
     from factorized_tpu.data import multitrait
 
-    data = multitrait.get_data(20, data_root=args.data_root,
-                               style=args.style)
+    if args.style == "mosei_sdk":
+        from factorized_tpu.data import mmsdk
+
+        data = mmsdk.get_data(20, data_root=args.data_root,
+                              files=mmsdk.MOSEI_FILES,
+                              label_mode="vector")
+        input_dims = list(mmsdk.LAST_INPUT_DIMS)
+    else:
+        data = multitrait.get_data(20, data_root=args.data_root,
+                                   style=args.style)
+        input_dims = multitrait.INPUT_DIMS
     base = (MFMConfig.from_json(args.config) if args.config
             else MFMConfig(seqlength=20))
     rng = random.Random(args.seed)
@@ -448,8 +459,7 @@ def run_multitrait(args):
             cfg = best_acc_mosi_config(model_type=args.type)
         else:
             cfg = base.replace(model_type=args.type)
-        cfg = cfg.replace(input_dims=multitrait.INPUT_DIMS,
-                          task="regression")
+        cfg = cfg.replace(input_dims=input_dims, task="regression")
         if args.epochs:
             cfg = cfg.replace(num_epochs=args.epochs)
         if args.batchsize:
@@ -588,7 +598,8 @@ def build_parser():
     sp = sub.add_parser("multitrait",
                         help="POM/IEMOCAP-style multi-trait regression")
     common(sp)
-    sp.add_argument("--style", default="pom", choices=["pom", "iemocap"])
+    sp.add_argument("--style", default="pom",
+                    choices=["pom", "iemocap", "mosei_sdk"])
     sp.set_defaults(func=run_multitrait)
 
     sp = sub.add_parser("check")

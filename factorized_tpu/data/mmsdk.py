@@ -51,6 +51,17 @@ DEFAULT_FILES = {
     "labels": "CMU_MOSI_Opinion_Labels.csd",
 }
 
+# CMU-MOSEI releases: the labels sequence carries 7 columns
+# (sentiment + 6 emotion intensities) -> the multi-trait path
+MOSEI_FILES = {
+    "text": "CMU_MOSEI_TimestampedWordVectors.csd",
+    "audio": "CMU_MOSEI_COVAREP.csd",
+    "visual": "CMU_MOSEI_VisualFacet42.csd",
+    "labels": "CMU_MOSEI_Labels.csd",
+}
+MOSEI_TRAITS = ["sentiment", "happy", "sad", "anger", "surprise",
+                "disgust", "fear"]
+
 SEQLENGTH = 20
 
 # input dims of the most recent get_data() call — the CLI reads this to
@@ -122,11 +133,16 @@ def _pad_keep_last(arr, t):
     return out
 
 
-def load_segments(data_root, files=None):
+def load_segments(data_root, files=None, label_mode="scalar"):
     """Read + word-align the four sequences.
 
     -> {video_id: [ {text, covarep, facet, label, length} sorted by
        segment index ]}
+
+    ``label_mode``: "scalar" averages the label features to one float
+    (MOSI sentiment); "vector" keeps one value per label COLUMN
+    (multi-trait sets like MOSEI's sentiment + 6 emotions), averaging
+    over label rows when a segment has several.
     """
     f = dict(DEFAULT_FILES)
     if files:
@@ -151,9 +167,15 @@ def load_segments(data_root, files=None):
         if seg_id not in labels:
             continue  # unlabeled segment: nothing to train on
         lab_feats, _ = labels[seg_id]
+        lab = np.asarray(lab_feats, np.float64)
+        if label_mode == "vector":
+            label = lab.reshape(lab.shape[0], -1).mean(axis=0).astype(
+                np.float32)
+        else:
+            label = float(lab.mean())
         seg = {
             "text": wvecs,
-            "label": float(np.asarray(lab_feats, np.float64).mean()),
+            "label": label,
             "length": wvecs.shape[0],
         }
         for kind, src in (("covarep", audio), ("facet", visual)):
@@ -202,10 +224,13 @@ def _stack_split(videos, seqlength):
 
 
 def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
-             split=None, normalize_covarep: bool = False):
+             split=None, normalize_covarep: bool = False,
+             label_mode: str = "scalar"):
     """-> (X_train, y_train, X_valid, y_valid, X_test, y_test), X
     batch-major (n, t, d_total = text+audio+visual), exactly the shape
-    contract of :func:`factorized_tpu.data.mosi.get_data`.
+    contract of :func:`factorized_tpu.data.mosi.get_data`. With
+    ``label_mode="vector"`` the y arrays are (n, n_traits) — the
+    multi-trait trainer's contract (MOSEI: pass ``files=MOSEI_FILES``).
 
     ``split=(n_train_videos, n_valid_videos)``; the remainder is test.
     Default: MOSI's 52/10/31 (``data_loader.py:122-124``) when the
@@ -219,7 +244,7 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
             "mosi_sdk needs --data-root pointing at CMU-MultimodalSDK "
             ".csd files (public download; see DEFAULT_FILES)")
 
-    by_vid = load_segments(data_root, files)
+    by_vid = load_segments(data_root, files, label_mode=label_mode)
     vids = sorted(by_vid.items(), key=lambda kv: kv[0])
     if split is None:
         if len(vids) > 62:

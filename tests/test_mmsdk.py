@@ -1,6 +1,8 @@
 """CMU-MultimodalSDK (.csd) adapter: fixture csd files built with h5py,
 alignment/padding/split/normalization checked against numpy oracles."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -181,6 +183,93 @@ class TestSegmentIds:
     def test_split_segment_id(self):
         assert mmsdk.split_segment_id("abc[12]") == ("abc", 12)
         assert mmsdk.split_segment_id("noindex") == ("noindex", 0)
+
+
+def make_mosei_fixture(tmp_path, n_videos=4, segs_per_video=2, words=4,
+                       n_traits=7):
+    """MOSEI-style quartet: label sequences carry n_traits columns."""
+    rng = np.random.default_rng(1)
+    text, audio, visual, labels = {}, {}, {}, {}
+    for v in range(n_videos):
+        for s in range(segs_per_video):
+            seg_id = f"mvid{v:02d}[{s}]"
+            n = words
+            w_iv = np.stack([np.arange(n), np.arange(n) + 1.0], axis=1)
+            text[seg_id] = (rng.normal(size=(n, 6)), w_iv)
+            audio[seg_id] = (rng.normal(size=(2 * n, 4)),
+                             np.stack([np.arange(2 * n) / 2.0,
+                                       np.arange(2 * n) / 2.0 + 0.5],
+                                      axis=1))
+            visual[seg_id] = (rng.normal(size=(n, 3)), w_iv.copy())
+            labels[seg_id] = (rng.normal(size=(1, n_traits)),
+                              np.array([[0.0, n * 1.0]]))
+    root = tmp_path / "mosei"
+    root.mkdir(exist_ok=True)
+    from factorized_tpu.data.mmsdk import MOSEI_FILES
+
+    write_csd(root / MOSEI_FILES["text"], "glove", text)
+    write_csd(root / MOSEI_FILES["audio"], "COVAREP", audio)
+    write_csd(root / MOSEI_FILES["visual"], "FACET", visual)
+    write_csd(root / MOSEI_FILES["labels"], "All Labels", labels)
+    return str(root)
+
+
+class TestMoseiMultitrait:
+    def test_vector_labels_shape(self, tmp_path):
+        root = make_mosei_fixture(tmp_path)
+        out = mmsdk.get_data(seqlength=5, data_root=root,
+                             files=mmsdk.MOSEI_FILES, split=(2, 1),
+                             label_mode="vector")
+        X_tr, y_tr = out[0], out[1]
+        assert X_tr.shape == (4, 5, 6 + 4 + 3)
+        assert y_tr.shape == (4, 7)
+
+    def test_multirow_labels_averaged(self, tmp_path):
+        root = make_mosei_fixture(tmp_path, n_videos=4, segs_per_video=1)
+        from factorized_tpu.data.mmsdk import MOSEI_FILES
+
+        path = f"{root}/{MOSEI_FILES['labels']}"
+        with h5py.File(path, "a") as f:
+            rootname = list(f.keys())[0]
+            g = f[rootname]["data"]["mvid00[0]"]
+            del g["features"], g["intervals"]
+            g.create_dataset("features",
+                             data=np.array([[1.0] * 7, [3.0] * 7],
+                                           np.float32))
+            g.create_dataset("intervals",
+                             data=np.array([[0.0, 2.0], [2.0, 4.0]]))
+        segs = mmsdk.load_segments(root, files=mmsdk.MOSEI_FILES,
+                                   label_mode="vector")
+        np.testing.assert_allclose(segs["mvid00"][0]["label"],
+                                   [2.0] * 7)
+
+    def test_cli_end_to_end(self, tmp_path):
+        from factorized_tpu.cli import main
+
+        root = make_mosei_fixture(tmp_path)
+        cfg = {
+            "seqlength": 5, "h_dims": [4, 4, 4], "memsize": 4,
+            "zy_size": 4, "zl_size": 4, "za_size": 4, "zv_size": 4,
+            "fy_size": 4, "fl_size": 4, "fa_size": 4, "fv_size": 4,
+            "att1_shape": 4, "att2_shape": 4, "gamma1_shape": 4,
+            "gamma2_shape": 4, "batchsize": 4, "num_epochs": 1,
+        }
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out = tmp_path / "runs"
+        rc = main(["multitrait", "--style", "mosei_sdk",
+                   "--data-root", root, "--config", str(cfg_path),
+                   "--out", str(out)])
+        assert rc == 0
+        # the run's final record carries 7-trait metric lists the
+        # check --multitrait mode can aggregate
+        import glob
+
+        from factorized_tpu.check import best_multitrait
+
+        assert glob.glob(f"{out}/*.jsonl")
+        res = best_multitrait(str(out), out=lambda *a: None)
+        assert len(res.get("mae", [])) == 7
 
 
 class TestMalformedFiles:
