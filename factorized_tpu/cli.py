@@ -53,12 +53,21 @@ DATASETS = {
     # patched after loading (data/mmsdk.py LAST_INPUT_DIMS)
     "mosi_sdk": dict(task="regression", threshold=0.0, mode="ge",
                      input_dims=[300, 74, 47], output_dim=1),
+    # CMU-MOSEI sentiment regression from public .csd files (the 7-
+    # column label sequence collapses to its mean, i.e. the sentiment
+    # scalar convention; per-trait training = `multitrait --style
+    # mosei_sdk`)
+    "mosei_sdk": dict(task="regression", threshold=0.0, mode="ge",
+                      input_dims=[300, 74, 35], output_dim=1),
 }
 
 
 def load_dataset(name, seqlength, data_root):
     from factorized_tpu.data import mmmo, mmsdk, mosi, moud, youtube
 
+    if name == "mosei_sdk":
+        return mmsdk.get_data(seqlength, data_root=data_root,
+                              files=mmsdk.MOSEI_FILES)
     mod = {"mosi": mosi, "moud": moud, "you": youtube, "mmmo": mmmo,
            "mosi_sdk": mmsdk}[name]
     return mod.get_data(seqlength, data_root=data_root)
@@ -66,9 +75,9 @@ def load_dataset(name, seqlength, data_root):
 
 def _dataset_info(name):
     """DATASETS entry, with input_dims patched from the loaded csd
-    widths for mosi_sdk (call AFTER load_dataset)."""
+    widths for the SDK datasets (call AFTER load_dataset)."""
     info = DATASETS[name]
-    if name == "mosi_sdk":
+    if name in ("mosi_sdk", "mosei_sdk"):
         from factorized_tpu.data import mmsdk
 
         if mmsdk.LAST_INPUT_DIMS:
@@ -147,7 +156,7 @@ def run_dataset(args):
                                        model_type=args.type,
                                        missing=args.missing,
                                        zeros=args.zeros)
-            if args.dataset == "mosi_sdk":
+            if args.dataset in ("mosi_sdk", "mosei_sdk"):
                 # csd feature widths differ from the lab pickles
                 cfg = cfg.replace(input_dims=info["input_dims"])
         elif args.mode == "best":
@@ -437,19 +446,20 @@ def run_multitrait(args):
     sequence carries sentiment + 6 emotion columns)."""
     from factorized_tpu.data import multitrait
 
+    base = (MFMConfig.from_json(args.config) if args.config
+            else MFMConfig(seqlength=20))
     if args.style == "mosei_sdk":
         from factorized_tpu.data import mmsdk
 
-        data = mmsdk.get_data(20, data_root=args.data_root,
+        data = mmsdk.get_data(base.seqlength, data_root=args.data_root,
                               files=mmsdk.MOSEI_FILES,
                               label_mode="vector")
         input_dims = list(mmsdk.LAST_INPUT_DIMS)
     else:
-        data = multitrait.get_data(20, data_root=args.data_root,
+        data = multitrait.get_data(base.seqlength,
+                                   data_root=args.data_root,
                                    style=args.style)
         input_dims = multitrait.INPUT_DIMS
-    base = (MFMConfig.from_json(args.config) if args.config
-            else MFMConfig(seqlength=20))
     rng = random.Random(args.seed)
     trial = 0
     while True:

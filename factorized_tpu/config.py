@@ -210,9 +210,10 @@ def sample_search_config(dataset: str, rng: Optional[random.Random] = None,
     ``mfm_you.py:592-645`` / ``mfm_mmmo.py:676-729``."""
     r = rng or random
     c = _COMMON
-    if dataset == "mosi_sdk":
-        # MOSI from public SDK csd files: the mosi search space with the
-        # csd feature widths (overridden by the CLI from the loaded data)
+    if dataset in ("mosi_sdk", "mosei_sdk"):
+        # MOSI/MOSEI from public SDK csd files: the mosi search space
+        # with the csd feature widths (overridden by the CLI from the
+        # loaded data)
         dataset = "mosi"
     if dataset == "mosi":
         input_dims, output_dim = [300, 5, 20], 1

@@ -243,6 +243,17 @@ class TestMoseiMultitrait:
         np.testing.assert_allclose(segs["mvid00"][0]["label"],
                                    [2.0] * 7)
 
+    def test_mosei_scalar_regression_dataset(self, tmp_path):
+        """`mosei_sdk` as a standard regression dataset: the 7-column
+        labels collapse to their mean (sentiment-scalar convention)."""
+        from factorized_tpu.cli import _dataset_info, load_dataset
+
+        root = make_mosei_fixture(tmp_path)
+        X_tr, y_tr, *_ = load_dataset("mosei_sdk", 5, root)
+        assert y_tr.ndim == 1
+        assert X_tr.shape[1] == 5
+        assert _dataset_info("mosei_sdk")["input_dims"] == [6, 4, 3]
+
     def test_cli_end_to_end(self, tmp_path):
         from factorized_tpu.cli import main
 
