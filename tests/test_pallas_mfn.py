@@ -161,6 +161,35 @@ class TestTrainModeBitwiseParity:
                                        rtol=2e-4, atol=1e-5)
 
 
+class TestKernelsActiveAtProductionConfig:
+    def test_fits_checks_pass_at_bench_shapes(self):
+        """The v1 backward silently never ran at production size —
+        encode_fits rejected it and training used the scan fallback
+        while docs credited the kernel. Pin the v2 kernels ACTIVE at
+        the pinned best-acc config (train mode, masks riding along) so
+        a fits-formula edit can't silently deactivate them again."""
+        from factorized_tpu.config import best_acc_mosi_config
+        from factorized_tpu.ops import pallas_lstm, pallas_mfn
+
+        cfg = best_acc_mosi_config()
+        t, n = cfg.seqlength, cfg.batchsize
+        h_tot = sum(cfg.h_dims) + cfg.zl_size + cfg.za_size + cfg.zv_size
+        att_in = 2 * sum(cfg.h_dims)
+        sites = (cfg.att1_shape, cfg.att2_shape, cfg.gamma1_shape,
+                 cfg.gamma2_shape)
+        widths = [att_in * sites[0], att_in * sites[1],
+                  (att_in + cfg.memsize) * (sites[2] + sites[3])]
+        assert pallas_mfn.encode_fits(t, n, h_tot, cfg.memsize, att_in,
+                                      widths, t * n * sum(sites))
+        assert pallas_mfn.encode_fits(t, n, h_tot, cfg.memsize, att_in,
+                                      widths, 0)  # eval mode too
+        dec_h = 3 * cfg.fy_size + cfg.fl_size + cfg.fa_size + cfg.fv_size
+        assert pallas_lstm.decoder_fits(t, n, dec_h)
+        # kl_ef's 4 fused encoder cells
+        kl_h = cfg.zl_size + cfg.za_size + cfg.zv_size + cfg.zy_size
+        assert pallas_lstm.multi_lstm_fits(t, n, kl_h)
+
+
 class TestVmappedGrads:
     def test_vmapped_grads_match_scan(self, force_pallas):
         """The multiseed trainer vmaps the train step over seeds; the
