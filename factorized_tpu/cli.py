@@ -73,6 +73,21 @@ def load_dataset(name, seqlength, data_root):
     return mod.get_data(seqlength, data_root=data_root)
 
 
+def _seed_parallel_mesh(n_seeds):
+    """Mesh for --seed-parallel: 1-D over the seed axis, or 2-D
+    ('seed', 'batch') when the slice has more devices than seeds (each
+    seed then trains data-parallel over the spare devices)."""
+    import jax
+
+    from factorized_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev > n_seeds and n_dev % n_seeds == 0:
+        return make_mesh(n_dev, axes=("seed", "batch"),
+                         shape=(n_seeds, n_dev // n_seeds))
+    return make_mesh()
+
+
 def _dataset_info(name):
     """DATASETS entry, with input_dims patched from the loaded csd
     widths for the SDK datasets (call AFTER load_dataset)."""
@@ -199,9 +214,7 @@ def run_dataset(args):
             kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
                       n_seeds=args.seeds)
             if args.seed_parallel:
-                from factorized_tpu.parallel import make_mesh
-
-                kw["mesh"] = make_mesh()
+                kw["mesh"] = _seed_parallel_mesh(args.seeds)
             if info["threshold"] is not None:
                 kw.update(binary_threshold=info["threshold"],
                           threshold_mode=info["mode"])
@@ -268,9 +281,7 @@ def run_mosi_acc(args):
 
             kw = {}
             if args.seed_parallel:
-                from factorized_tpu.parallel import make_mesh
-
-                kw["mesh"] = make_mesh()
+                kw["mesh"] = _seed_parallel_mesh(args.seeds)
             train_mfm_multiseed(
                 *data, cfg.replace(task="classification", output_dim=2),
                 n_seeds=args.seeds, logger=logger, seed=args.seed + trial,

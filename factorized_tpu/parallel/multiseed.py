@@ -114,13 +114,18 @@ def train_mfm_multiseed(
     semantics (``mfm_mosi_acc.py:479-485``: keep-on-best-ACCURACY with
     >=, scheduler still stepping on the same number).
 
-    ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis —
-    the SEED axis of every state tensor is sharded over it (n_seeds
-    must divide the axis size). Seeds are embarrassingly parallel, so
-    XLA partitions the whole epoch program per-device with ZERO
-    inter-chip collectives: the production search workload scales
-    linearly over chips (8 chips x K=8 -> 64 models per step). Batch
-    data is replicated (it is identical for every seed)."""
+    ``mesh``: optional ``jax.sharding.Mesh``.
+    - 1-D (axis ``'seed'`` or legacy ``'data'``): the SEED axis of
+      every state tensor is sharded (n_seeds must divide the axis
+      size). Seeds are embarrassingly parallel, so XLA partitions the
+      whole epoch program per-device with ZERO inter-chip collectives
+      — linear chip scaling for the search workload. Batch data is
+      replicated (identical for every seed).
+    - 2-D ``('seed', 'batch')``: additionally shards the BATCH axis of
+      the training data over ``'batch'`` — each seed's gradients get
+      one XLA-inserted ``psum`` over that axis per step. Use when the
+      slice has more chips than wanted seeds (e.g. 16 chips, K=8 ->
+      mesh (8, 2): every seed trains 2-way data-parallel)."""
     logger = logger or RunLogger()
     X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
     Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
@@ -150,17 +155,31 @@ def train_mfm_multiseed(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dev = mesh.shape["data"]
+        seed_ax = "seed" if "seed" in mesh.axis_names else "data"
+        n_dev = mesh.shape[seed_ax]
         if n_seeds % n_dev:
             raise ValueError(
-                f"n_seeds={n_seeds} must divide the mesh 'data' axis "
-                f"({n_dev}) for seed-parallel training")
-        seed_sh = NamedSharding(mesh, P("data"))
-        repl = NamedSharding(mesh, P())
+                f"n_seeds={n_seeds} must divide the mesh {seed_ax!r} "
+                f"axis ({n_dev}) for seed-parallel training")
+        seed_sh = NamedSharding(mesh, P(seed_ax))
+        if "batch" in mesh.axis_names:
+            b_dev = mesh.shape["batch"]
+            if cfg.batchsize % b_dev:
+                raise ValueError(
+                    f"batchsize={cfg.batchsize} must divide the mesh "
+                    f"'batch' axis ({b_dev})")
+            x_sh = NamedSharding(mesh, P(None, None, "batch"))
+            y_sh = NamedSharding(mesh, P(None, "batch"))
+            # full-set eval: shard only when evenly divisible
+            xv_sh = (NamedSharding(mesh, P(None, "batch"))
+                     if Xv.shape[1] % b_dev == 0
+                     else NamedSharding(mesh, P()))
+        else:
+            x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
         params = jax.device_put(params, seed_sh)
         opt_state = jax.device_put(opt_state, seed_sh)
-        Xb, yb = (jax.device_put(Xb, repl), jax.device_put(yb, repl))
-        Xv_d = jax.device_put(Xv, repl)
+        Xb, yb = (jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh))
+        Xv_d = jax.device_put(Xv, xv_sh)
     else:
         # device-resident across all epochs
         Xb, yb = jax.device_put(Xb), jax.device_put(yb)

@@ -245,6 +245,38 @@ class TestSeedParallel:
                                 logger=RunLogger(echo=False),
                                 mesh=make_mesh(8))
 
+    def test_seed_by_batch_2d_mesh_matches_unsharded(self):
+        """('seed', 'batch') mesh: each seed trains data-parallel over
+        the spare devices (XLA inserts the per-seed grad psum) — for
+        slices with more chips than wanted seeds."""
+        from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+        from factorized_tpu.utils.logging import RunLogger
+
+        data, dims = self._data()
+        cfg = CFG.replace(input_dims=list(dims), num_epochs=2, batchsize=16)
+        quiet = RunLogger(echo=False)
+        ref = train_mfm_multiseed(*data, cfg, n_seeds=4, logger=quiet)
+        mesh2 = make_mesh(8, axes=("seed", "batch"), shape=(4, 2))
+        shd = train_mfm_multiseed(*data, cfg, n_seeds=4, logger=quiet,
+                                  mesh=mesh2)
+        assert shd["best_seed"] == ref["best_seed"]
+        for a, b in zip(ref["results"], shd["results"]):
+            assert abs(a["metrics"]["mae"] - b["metrics"]["mae"]) < 5e-3
+            assert abs(a["best_valid"] - b["best_valid"]) < 5e-3
+
+    def test_2d_mesh_batch_must_divide(self):
+        from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+        from factorized_tpu.utils.logging import RunLogger
+
+        data, dims = self._data()
+        cfg = CFG.replace(input_dims=list(dims), num_epochs=1,
+                          batchsize=18)
+        with pytest.raises(ValueError, match="batch"):
+            train_mfm_multiseed(*data, cfg, n_seeds=2,
+                                logger=RunLogger(echo=False),
+                                mesh=make_mesh(8, axes=("seed", "batch"),
+                                               shape=(2, 4)))
+
 
 class TestMultiSeedAcc:
     def test_accuracy_semantics(self):
