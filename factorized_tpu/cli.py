@@ -53,10 +53,9 @@ DATASETS = {
     # patched after loading (data/mmsdk.py LAST_INPUT_DIMS)
     "mosi_sdk": dict(task="regression", threshold=0.0, mode="ge",
                      input_dims=[300, 74, 47], output_dim=1),
-    # CMU-MOSEI sentiment regression from public .csd files (the 7-
-    # column label sequence collapses to its mean, i.e. the sentiment
-    # scalar convention; per-trait training = `multitrait --style
-    # mosei_sdk`)
+    # CMU-MOSEI sentiment regression from public .csd files (column 0
+    # of the 7-column label sequence = the sentiment score; per-trait
+    # training = `multitrait --style mosei_sdk`)
     "mosei_sdk": dict(task="regression", threshold=0.0, mode="ge",
                       input_dims=[300, 74, 35], output_dim=1),
 }
@@ -486,7 +485,15 @@ def run_multitrait(args):
         if args.batchsize:
             cfg = cfg.replace(batchsize=args.batchsize)
         logger = RunLogger(args.out, run_id=f"{args.style}_{trial}")
-        logger.record("config", style=args.style, **cfg.to_dict())
+        if args.style == "mosei_sdk":
+            from factorized_tpu.data.mmsdk import MOSEI_TRAITS
+
+            # trait names in the run record: the per-trait metric lists
+            # (mae: [..]) are positional, this documents the columns
+            logger.record("config", style=args.style,
+                          traits=MOSEI_TRAITS, **cfg.to_dict())
+        else:
+            logger.record("config", style=args.style, **cfg.to_dict())
         res = trainers.train_mfm_multitrait(
             *data, cfg, logger=logger, seed=args.seed + trial, lr=args.lr,
             resume_from=args.resume,

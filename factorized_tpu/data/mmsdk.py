@@ -139,10 +139,10 @@ def load_segments(data_root, files=None, label_mode="scalar"):
     -> {video_id: [ {text, covarep, facet, label, length} sorted by
        segment index ]}
 
-    ``label_mode``: "scalar" averages the label features to one float
-    (MOSI sentiment); "vector" keeps one value per label COLUMN
-    (multi-trait sets like MOSEI's sentiment + 6 emotions), averaging
-    over label rows when a segment has several.
+    ``label_mode``: "scalar" takes COLUMN 0 of the label features (the
+    sentiment column — averaged over rows when a segment has several);
+    "vector" keeps one value per label COLUMN (multi-trait sets like
+    MOSEI's sentiment + 6 emotions).
     """
     f = dict(DEFAULT_FILES)
     if files:
@@ -167,12 +167,16 @@ def load_segments(data_root, files=None, label_mode="scalar"):
         if seg_id not in labels:
             continue  # unlabeled segment: nothing to train on
         lab_feats, _ = labels[seg_id]
-        lab = np.asarray(lab_feats, np.float64)
+        lab = np.asarray(lab_feats, np.float64).reshape(
+            np.asarray(lab_feats).shape[0], -1)
         if label_mode == "vector":
-            label = lab.reshape(lab.shape[0], -1).mean(axis=0).astype(
-                np.float32)
+            label = lab.mean(axis=0).astype(np.float32)
         else:
-            label = float(lab.mean())
+            # scalar mode: COLUMN 0 only — the sentiment column. For
+            # multi-column label sets (MOSEI: sentiment + 6 emotion
+            # intensities on a different scale) averaging across
+            # columns would produce a meaningless mixed-scale target.
+            label = float(lab[:, 0].mean())
         seg = {
             "text": wvecs,
             "label": label,
@@ -239,6 +243,10 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
     or subset downloads still load.
     """
     global LAST_INPUT_DIMS
+    # reset up front so a failed load can never leave a previous call's
+    # dims behind; the CLI reads this immediately after a successful
+    # get_data (load_dataset -> _dataset_info ordering)
+    LAST_INPUT_DIMS = None
     if not data_root or not os.path.isdir(data_root):
         raise FileNotFoundError(
             "mosi_sdk needs --data-root pointing at CMU-MultimodalSDK "

@@ -244,8 +244,9 @@ class TestMoseiMultitrait:
                                    [2.0] * 7)
 
     def test_mosei_scalar_regression_dataset(self, tmp_path):
-        """`mosei_sdk` as a standard regression dataset: the 7-column
-        labels collapse to their mean (sentiment-scalar convention)."""
+        """`mosei_sdk` as a standard regression dataset: scalar labels
+        are COLUMN 0 of the 7-column sequence (the sentiment score),
+        never a mixed-scale mean over emotion columns."""
         from factorized_tpu.cli import _dataset_info, load_dataset
 
         root = make_mosei_fixture(tmp_path)
@@ -253,6 +254,14 @@ class TestMoseiMultitrait:
         assert y_tr.ndim == 1
         assert X_tr.shape[1] == 5
         assert _dataset_info("mosei_sdk")["input_dims"] == [6, 4, 3]
+        segs = mmsdk.load_segments(root, files=mmsdk.MOSEI_FILES,
+                                   label_mode="vector")
+        scalars = mmsdk.load_segments(root, files=mmsdk.MOSEI_FILES,
+                                      label_mode="scalar")
+        for vid in segs:
+            for sv, ss in zip(segs[vid], scalars[vid]):
+                np.testing.assert_allclose(ss["label"], sv["label"][0],
+                                           rtol=1e-6)
 
     def test_cli_end_to_end(self, tmp_path):
         from factorized_tpu.cli import main
