@@ -1,0 +1,651 @@
+"""Oracle tests against the LITERAL reference source code.
+
+Every other parity test in this suite compares against torch oracles
+*re-implemented* here from the reference's math. This file removes that
+indirection: it reads ``/root/reference/mfm_model.py``, neutralizes the
+hard-coded ``.cuda()`` device pins (the only thing blocking CPU
+execution — the file otherwise parses and runs as Python 3), ``exec``s
+it, copies OUR initialized weights into the reference's torch modules,
+and asserts our ``apply`` matches the reference's ``forward`` bit of
+math to fp32 tolerance.
+
+Covered reference classes / functions (mfm_model.py line numbers):
+- ``compute_kernel``            (14-23)  incl. the double-``/dim`` quirk
+- ``loss_KLD``                  (36-38)
+- ``loss_MMD``                  (25-34)  via a shared Gaussian sample
+- ``encoderLSTM``               (40-62)
+- ``decoderLSTM``               (64-91)
+- ``MFN``                       (93-199)
+- ``M_A``/``M_B``/``M_C``/``M_D`` (201-467)
+- ``MFM``                       (469-555)
+- ``MFM_KL_EF``                 (557-660)
+- ``MFM_KL``                    (662-764)
+- ``MFM_missing``               (766-885)
+- ``seq2seq``                   (887-958)
+- ``basic_missing``             (960-1017)
+
+Randomness discipline: the reference's ``loss_MMD`` draws a fresh
+``torch.randn`` inside ``forward``, so model-level comparisons patch
+``loss_MMD`` (in the exec'd namespace) and our MMD helpers (via
+monkeypatch) to the DETERMINISTIC part of the MMD — ``E[k(z,z)]``, which
+exercises the latents through the kernel — while dedicated tests prove
+the full stochastic MMD (and our padded-batched ``_mmd4``) equals the
+reference formula when both sides share the same Gaussian sample.
+
+All comparisons run our PRODUCTION path (FUSED=True block-diagonal
+scans); tests/test_fused.py separately ties fused == modular.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import factorized_tpu.models.ablations as ablations_mod
+import factorized_tpu.models.baselines as baselines_mod
+import factorized_tpu.models.mfm as mfm_mod
+from factorized_tpu.config import MFMConfig
+from factorized_tpu.models.ablations import (
+    m_a_apply,
+    m_a_init,
+    m_b_apply,
+    m_b_init,
+    m_c_apply,
+    m_c_init,
+    m_d_apply,
+    m_d_init,
+)
+from factorized_tpu.models.baselines import (
+    basic_missing_apply,
+    basic_missing_init,
+    seq2seq_apply,
+    seq2seq_init,
+)
+from factorized_tpu.models.common import run_mfn
+from factorized_tpu.models.mfm import (
+    mfm_apply,
+    mfm_init,
+    mfm_kl_apply,
+    mfm_kl_ef_apply,
+    mfm_kl_ef_init,
+    mfm_kl_init,
+    mfm_missing_apply,
+    mfm_missing_init,
+)
+from factorized_tpu.ops import losses as losses_mod
+from factorized_tpu.ops.lstm import decoder_apply, decoder_init, encoder_apply, encoder_init
+
+REFERENCE = "/root/reference/mfm_model.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REFERENCE), reason="reference checkout not present"
+)
+
+ATOL = 2e-4
+RTOL = 2e-4
+
+
+# ------------------------------------------------------------ exec harness
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Exec the reference source with .cuda() pins neutralized."""
+    with open(REFERENCE) as f:
+        src = f.read()
+    src = src.replace(".cuda()", "")
+    ns = {"__name__": "reference_mfm_model"}
+    exec(compile(src, REFERENCE, "exec"), ns)
+    return ns
+
+
+def det_loss_mmd_ref(ns):
+    """Deterministic stand-in for the reference loss_MMD: E[k(z, z)]."""
+
+    def f(z):
+        return ns["compute_kernel"](z, z).mean()
+
+    return f
+
+
+@pytest.fixture()
+def det_mmd(ref, monkeypatch):
+    """Patch BOTH sides' MMD to the deterministic E[k(z,z)] term."""
+    monkeypatch.setitem(ref, "loss_MMD", det_loss_mmd_ref(ref))
+
+    def det_loss_mmd_ours(key, z):
+        return jnp.mean(losses_mod.compute_kernel(z, z))
+
+    def det_mmd4_ours(key, zl, za, zv, zy):
+        return sum(
+            jnp.mean(losses_mod.compute_kernel(z, z)) for z in (zl, za, zv, zy)
+        )
+
+    monkeypatch.setattr(mfm_mod, "_mmd4", det_mmd4_ours)
+    monkeypatch.setattr(ablations_mod, "loss_mmd", det_loss_mmd_ours)
+    monkeypatch.setattr(baselines_mod, "loss_mmd", det_loss_mmd_ours)
+    return ref
+
+
+# ------------------------------------------------------------ weight copy
+
+
+def t_(a):
+    return torch.tensor(np.asarray(a), dtype=torch.float32)
+
+
+def copy_linear(tlin, p):
+    """ours: w (d_in, d_out), b (d_out) -> torch Linear (out, in)."""
+    tlin.weight.data = t_(p["w"]).T.contiguous()
+    tlin.bias.data = t_(p["b"])
+
+
+def copy_lstmcell(tcell, p):
+    """ours: wx (d,4h), wh (h,4h), b = b_ih + b_hh; gate order [i,f,g,o]
+    matches torch LSTMCell chunking."""
+    tcell.weight_ih.data = t_(p["wx"]).T.contiguous()
+    tcell.weight_hh.data = t_(p["wh"]).T.contiguous()
+    tcell.bias_ih.data = t_(p["b"])
+    tcell.bias_hh.data = torch.zeros_like(tcell.bias_hh.data)
+
+
+def copy_encoder(tenc, p):
+    copy_lstmcell(tenc.lstm, p["lstm"])
+    copy_linear(tenc.fc1, p["fc1"])
+
+
+copy_decoder = copy_encoder  # same two fields
+
+
+def copy_mfn(tmfn, p):
+    copy_lstmcell(tmfn.lstm_l, p["lstm_l"])
+    copy_lstmcell(tmfn.lstm_a, p["lstm_a"])
+    copy_lstmcell(tmfn.lstm_v, p["lstm_v"])
+    for name, ours in (
+        ("att1", "att1"),
+        ("att2", "att2"),
+        ("gamma1", "gamma1"),
+        ("gamma2", "gamma2"),
+    ):
+        copy_linear(getattr(tmfn, f"{name}_fc1"), p[ours]["fc1"])
+        copy_linear(getattr(tmfn, f"{name}_fc2"), p[ours]["fc2"])
+    # out_fc1/out_fc2 are dead weights in MFN.forward (mfm_model.py:140-199)
+
+
+def copy_mlp2(tmod, prefix, p):
+    copy_linear(getattr(tmod, f"{prefix}_fc1"), p["fc1"])
+    copy_linear(getattr(tmod, f"{prefix}_fc2"), p["fc2"])
+
+
+def copy_zf_trio(tmodel, params):
+    for name in ("zy_to_fy", "zl_to_fl", "za_to_fa", "zv_to_fv"):
+        copy_mlp2(tmodel, name, params["zf"][name])
+
+
+def copy_enc_trio(tmodel, params):
+    for name in ("encoder_l", "encoder_a", "encoder_v"):
+        copy_encoder(getattr(tmodel, name), params["enc"][name])
+
+
+def copy_dec_trio(tmodel, params):
+    for name in ("decoder_l", "decoder_a", "decoder_v"):
+        copy_decoder(getattr(tmodel, name), params["dec"][name])
+
+
+def copy_varhead(tmodel, params):
+    for name in (
+        "last_to_zl",
+        "last_to_za",
+        "last_to_zv",
+        "last_to_logvarzl",
+        "last_to_logvarza",
+        "last_to_logvarzv",
+    ):
+        copy_linear(getattr(tmodel, f"{name}_fc1"), params["varhead"][name])
+
+
+# ------------------------------------------------------------ config + data
+
+
+def small_cfg():
+    """Odd, all-different sizes to catch any index/stride mixups."""
+    return MFMConfig(
+        input_dims=[10, 3, 6],
+        h_dims=[8, 6, 5],
+        memsize=12,
+        windowsize=2,
+        output_dim=1,
+        zy_size=9,
+        zl_size=7,
+        za_size=5,
+        zv_size=11,
+        fy_size=6,
+        fl_size=8,
+        fa_size=4,
+        fv_size=7,
+        att1_shape=16,
+        att2_shape=14,
+        gamma1_shape=13,
+        gamma2_shape=15,
+        out_shape=10,
+        zy_to_fy_dropout=0.2,
+        zl_to_fl_dropout=0.3,
+        za_to_fa_dropout=0.1,
+        zv_to_fv_dropout=0.4,
+        fy_to_y_dropout=0.2,
+    )
+
+
+def legacy_dicts(cfg):
+    config = {
+        "input_dims": list(cfg.input_dims),
+        "h_dims": list(cfg.h_dims),
+        "memsize": cfg.memsize,
+        "windowsize": cfg.windowsize,
+        "output_dim": cfg.output_dim,
+        "zy_size": cfg.zy_size,
+        "zl_size": cfg.zl_size,
+        "za_size": cfg.za_size,
+        "zv_size": cfg.zv_size,
+        "fy_size": cfg.fy_size,
+        "fl_size": cfg.fl_size,
+        "fa_size": cfg.fa_size,
+        "fv_size": cfg.fv_size,
+        "zy_to_fy_dropout": cfg.zy_to_fy_dropout,
+        "zl_to_fl_dropout": cfg.zl_to_fl_dropout,
+        "za_to_fa_dropout": cfg.za_to_fa_dropout,
+        "zv_to_fv_dropout": cfg.zv_to_fv_dropout,
+        "fy_to_y_dropout": cfg.fy_to_y_dropout,
+    }
+    nn1 = {"shapes": cfg.att1_shape, "drop": cfg.att1_drop}
+    nn2 = {"shapes": cfg.att2_shape, "drop": cfg.att2_drop}
+    g1 = {"shapes": cfg.gamma1_shape, "drop": cfg.gamma1_drop}
+    g2 = {"shapes": cfg.gamma2_shape, "drop": cfg.gamma2_drop}
+    out = {"shapes": cfg.out_shape, "drop": cfg.out_drop}
+    return config, nn1, nn2, g1, g2, out
+
+
+T, N = 12, 16
+
+
+def make_x(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(T, N, cfg.d_total).astype(np.float32)
+
+
+def close(ours, theirs, atol=ATOL, rtol=RTOL, what=""):
+    ours = np.asarray(ours)
+    theirs = theirs.detach().numpy() if torch.is_tensor(theirs) else np.asarray(theirs)
+    np.testing.assert_allclose(ours, theirs, atol=atol, rtol=rtol, err_msg=what)
+
+
+# ================================================================ kernels
+
+
+def test_compute_kernel_matches_reference(ref):
+    rng = np.random.RandomState(1)
+    x = rng.randn(9, 13).astype(np.float32)
+    y = rng.randn(7, 13).astype(np.float32)
+    theirs = ref["compute_kernel"](torch.tensor(x), torch.tensor(y))
+    ours = losses_mod.compute_kernel(jnp.asarray(x), jnp.asarray(y))
+    close(ours, theirs, what="compute_kernel (incl. double-/dim quirk)")
+
+
+def test_loss_kld_matches_reference(ref):
+    rng = np.random.RandomState(2)
+    mu = rng.randn(8, 11).astype(np.float32)
+    lv = rng.randn(8, 11).astype(np.float32) * 0.3
+    theirs = ref["loss_KLD"](torch.tensor(mu), torch.tensor(lv))
+    ours = losses_mod.loss_kld(jnp.asarray(mu), jnp.asarray(lv))
+    close(ours, theirs, what="loss_KLD")
+
+
+def test_loss_mmd_shared_sample(ref):
+    """Our loss_mmd equals the reference MMD formula when the reference
+    side is fed the exact Gaussian sample our PRNG draws."""
+    rng = np.random.RandomState(3)
+    z = rng.randn(10, 9).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    r = np.asarray(jax.random.normal(key, z.shape, jnp.float32))
+
+    ck = ref["compute_kernel"]
+    tr, tz = torch.tensor(r), torch.tensor(z)
+    theirs = ck(tr, tr).mean() + ck(tz, tz).mean() - 2.0 * ck(tr, tz).mean()
+    ours = losses_mod.loss_mmd(key, jnp.asarray(z))
+    close(ours, theirs, what="loss_MMD with shared randn (mfm_model.py:25-34)")
+
+
+def test_mmd4_padded_batching_is_exact(ref):
+    """_mmd4's pad-and-stack batching == four reference-formula MMD terms
+    given the same masked Gaussian sample (mfm_model.py:536)."""
+    rng = np.random.RandomState(4)
+    dims = (7, 5, 11, 9)
+    n = 10
+    zs = [rng.randn(n, d).astype(np.float32) for d in dims]
+    key = jax.random.PRNGKey(11)
+
+    # reconstruct the sample _mmd4 draws
+    dmax = max(dims)
+    Zshape = (4, n, dmax)
+    mask = np.stack(
+        [np.concatenate([np.ones(d), np.zeros(dmax - d)]) for d in dims]
+    ).astype(np.float32)
+    R = np.asarray(jax.random.normal(key, Zshape, jnp.float32)) * mask[:, None, :]
+
+    ck = ref["compute_kernel"]
+    theirs = 0.0
+    for i, (z, d) in enumerate(zip(zs, dims)):
+        tz = torch.tensor(z)
+        tr = torch.tensor(R[i][:, :d])
+        theirs = theirs + (
+            ck(tr, tr).mean() + ck(tz, tz).mean() - 2.0 * ck(tr, tz).mean()
+        )
+
+    ours = mfm_mod._mmd4(key, *[jnp.asarray(z) for z in zs])
+    close(ours, theirs, what="_mmd4 padded batching vs per-latent reference math")
+
+
+# ============================================================ LSTM modules
+
+
+def test_encoder_lstm_matches_reference(ref):
+    d, h = 9, 7
+    params = encoder_init(jax.random.PRNGKey(0), d, h)
+    tenc = ref["encoderLSTM"](d, h)
+    copy_encoder(tenc, params)
+    tenc.eval()
+
+    x = np.random.RandomState(5).randn(T, N, d).astype(np.float32)
+    with torch.no_grad():
+        theirs = tenc.forward(torch.tensor(x))
+    ours = encoder_apply(params, jnp.asarray(x))
+    close(ours, theirs, what="encoderLSTM (mfm_model.py:40-62)")
+
+
+def test_decoder_lstm_matches_reference(ref):
+    h, d = 8, 5
+    params = decoder_init(jax.random.PRNGKey(1), h, d)
+    tdec = ref["decoderLSTM"](h, d)
+    copy_decoder(tdec, params)
+    tdec.eval()
+
+    hT = np.random.RandomState(6).randn(N, h).astype(np.float32)
+    with torch.no_grad():
+        theirs = tdec.forward(torch.tensor(hT), T)
+    ours = decoder_apply(params, jnp.asarray(hT), T)
+    close(ours, theirs, what="decoderLSTM (mfm_model.py:64-91)")
+
+
+def test_mfn_matches_reference(ref):
+    cfg = small_cfg()
+    from factorized_tpu.models.common import mfn_encoder_init
+
+    params = mfn_encoder_init(jax.random.PRNGKey(2), cfg)
+    tmfn = ref["MFN"](*legacy_dicts(cfg))
+    copy_mfn(tmfn, params["mfn"])
+    tmfn.eval()
+
+    x = make_x(cfg, seed=7)
+    with torch.no_grad():
+        theirs = tmfn.forward(torch.tensor(x))
+    x_l, x_a, x_v = (
+        jnp.asarray(x[..., : cfg.input_dims[0]]),
+        jnp.asarray(x[..., cfg.input_dims[0] : cfg.input_dims[0] + cfg.input_dims[1]]),
+        jnp.asarray(x[..., cfg.input_dims[0] + cfg.input_dims[1] :]),
+    )
+    ours = run_mfn(params, x_l, x_a, x_v, cfg, jax.random.PRNGKey(0), False)
+    close(ours, theirs, what="MFN last_hs (mfm_model.py:93-199)")
+
+
+# ============================================================= full models
+
+
+def run_both(tmodel, ours_fn, params, cfg, x):
+    tmodel.eval()
+    with torch.no_grad():
+        theirs = tmodel.forward(torch.tensor(x))
+    ours = ours_fn(params, jnp.asarray(x), cfg, key=jax.random.PRNGKey(0), train=False)
+    return ours, theirs
+
+
+def assert_decoded(ours_dec, theirs_dec, tag):
+    names = ("x_l_hat", "x_a_hat", "x_v_hat", "y_hat")
+    for o, th, nm in zip(ours_dec, theirs_dec, names):
+        close(o, th, what=f"{tag}.{nm}")
+
+
+def test_mfm_matches_reference(det_mmd):
+    ref = det_mmd
+    cfg = small_cfg()
+    params = mfm_init(jax.random.PRNGKey(3), cfg)
+    tmodel = ref["MFM"](*legacy_dicts(cfg))
+    copy_enc_trio(tmodel, params)
+    copy_dec_trio(tmodel, params)
+    copy_mfn(tmodel.mfn_encoder, params["mfn_enc"]["mfn"])
+    copy_linear(tmodel.last_to_zy_fc1, params["mfn_enc"]["last_to_zy"])
+    copy_zf_trio(tmodel, params)
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    x = make_x(cfg, seed=8)
+    (ours_dec, ours_mmd, _), (theirs_dec, theirs_mmd, _) = run_both(
+        tmodel, mfm_apply, params, cfg, x
+    )
+    assert_decoded(ours_dec, theirs_dec, "MFM")
+    close(ours_mmd, theirs_mmd, what="MFM deterministic MMD term")
+
+
+def test_mfm_kl_matches_reference(ref):
+    cfg = small_cfg()
+    params = mfm_kl_init(jax.random.PRNGKey(4), cfg)
+    tmodel = ref["MFM_KL"](*legacy_dicts(cfg))
+    copy_enc_trio(tmodel, params)
+    copy_dec_trio(tmodel, params)
+    copy_mfn(tmodel.mfn_encoder, params["mfn_enc"]["mfn"])
+    copy_linear(tmodel.last_to_zy_fc1, params["mfn_enc"]["last_to_zy"])
+    copy_linear(tmodel.last_to_logvarzy_fc1, params["last_to_logvarzy"])
+    copy_varhead(tmodel, params)
+    copy_zf_trio(tmodel, params)
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    x = make_x(cfg, seed=9)
+    (ours_dec, ours_kld, _), (theirs_dec, theirs_kld, _) = run_both(
+        tmodel, mfm_kl_apply, params, cfg, x
+    )
+    assert_decoded(ours_dec, theirs_dec, "MFM_KL")
+    close(ours_kld, theirs_kld, what="MFM_KL kld_loss (mfm_model.py:745)")
+
+
+def test_mfm_kl_ef_matches_reference(ref):
+    cfg = small_cfg()
+    params = mfm_kl_ef_init(jax.random.PRNGKey(5), cfg)
+    tmodel = ref["MFM_KL_EF"](*legacy_dicts(cfg))
+    copy_enc_trio(tmodel, params)
+    copy_dec_trio(tmodel, params)
+    copy_encoder(tmodel.ef_encoder, params["ef_encoder"])
+    copy_linear(tmodel.last_to_zy_fc1, params["last_to_zy"])
+    copy_linear(tmodel.last_to_logvarzy_fc1, params["last_to_logvarzy"])
+    copy_varhead(tmodel, params)
+    copy_zf_trio(tmodel, params)
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    x = make_x(cfg, seed=10)
+    (ours_dec, ours_kld, _), (theirs_dec, theirs_kld, _) = run_both(
+        tmodel, mfm_kl_ef_apply, params, cfg, x
+    )
+    assert_decoded(ours_dec, theirs_dec, "MFM_KL_EF")
+    close(ours_kld, theirs_kld, what="MFM_KL_EF kld_loss (mfm_model.py:641)")
+
+
+def test_mfm_missing_matches_reference(det_mmd):
+    ref = det_mmd
+    cfg = small_cfg()
+    params = mfm_missing_init(jax.random.PRNGKey(6), cfg)
+    tmodel = ref["MFM_missing"](*legacy_dicts(cfg))
+    copy_enc_trio(tmodel, params)
+    copy_dec_trio(tmodel, params)
+    copy_mfn(tmodel.mfn_encoder, params["mfn_enc"]["mfn"])
+    copy_linear(tmodel.last_to_zy_fc1, params["mfn_enc"]["last_to_zy"])
+    copy_zf_trio(tmodel, params)
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+    for name in (
+        "encoder_la_to_v",
+        "encoder_lv_to_a",
+        "encoder_av_to_l",
+        "encoder_la_to_y",
+        "encoder_lv_to_y",
+        "encoder_av_to_y",
+    ):
+        copy_encoder(getattr(tmodel, name), params[name])
+
+    x = make_x(cfg, seed=11)
+    tmodel.eval()
+    with torch.no_grad():
+        t_dec, t_nol, t_noa, t_nov, t_mmd, t_miss = tmodel.forward(torch.tensor(x))
+    o_dec, o_nol, o_noa, o_nov, o_mmd, o_miss = mfm_missing_apply(
+        params, jnp.asarray(x), cfg, key=jax.random.PRNGKey(0), train=False
+    )
+    assert_decoded(o_dec, t_dec, "MFM_missing.decoded")
+    assert_decoded(o_nol, t_nol, "MFM_missing.decoded_nol")
+    assert_decoded(o_noa, t_noa, "MFM_missing.decoded_noa")
+    assert_decoded(o_nov, t_nov, "MFM_missing.decoded_nov")
+    close(o_mmd, t_mmd, what="MFM_missing deterministic MMD term")
+    close(o_miss, t_miss, what="MFM_missing missing_loss (mfm_model.py:853-858)")
+
+
+def test_m_a_matches_reference(det_mmd):
+    ref = det_mmd
+    cfg = small_cfg()
+    params = m_a_init(jax.random.PRNGKey(7), cfg)
+    tmodel = ref["M_A"](*legacy_dicts(cfg))
+    copy_encoder(tmodel.encoder_l, params["encoder_l"])
+    for nm in ("decoder_l", "decoder_a", "decoder_v"):
+        copy_decoder(getattr(tmodel, nm), params[nm])
+    copy_mfn(tmodel.mfn_encoder, params["mfn_enc"]["mfn"])
+    copy_linear(tmodel.last_to_zy_fc1, params["mfn_enc"]["last_to_zy"])
+    copy_mlp2(tmodel, "zy_to_fy", params["zy_to_fy"])
+    copy_mlp2(tmodel, "zl_to_fl", params["zl_to_fl"])
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    x = make_x(cfg, seed=12)
+    (ours_dec, ours_mmd, _), (theirs_dec, theirs_mmd, _) = run_both(
+        tmodel, m_a_apply, params, cfg, x
+    )
+    assert_decoded(ours_dec, theirs_dec, "M_A")
+    close(ours_mmd, theirs_mmd, what="M_A deterministic MMD term")
+
+
+def test_m_b_matches_reference(det_mmd):
+    ref = det_mmd
+    cfg = small_cfg()
+    params = m_b_init(jax.random.PRNGKey(8), cfg)
+    tmodel = ref["M_B"](*legacy_dicts(cfg))
+    for nm in ("encoder_l", "encoder_a", "encoder_v"):
+        copy_encoder(getattr(tmodel, nm), params["enc"][nm])
+    for nm in ("decoder_l", "decoder_a", "decoder_v"):
+        copy_decoder(getattr(tmodel, nm), params[nm])
+    copy_mlp2(tmodel, "zl_to_fl", params["zl_to_fl"])
+    copy_mlp2(tmodel, "za_to_fa", params["za_to_fa"])
+    copy_mlp2(tmodel, "zv_to_fv", params["zv_to_fv"])
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    x = make_x(cfg, seed=13)
+    (ours_dec, ours_mmd, _), (theirs_dec, theirs_mmd, _) = run_both(
+        tmodel, m_b_apply, params, cfg, x
+    )
+    assert_decoded(ours_dec, theirs_dec, "M_B")
+    close(ours_mmd, theirs_mmd, what="M_B deterministic MMD term")
+
+
+def test_m_c_matches_reference(det_mmd):
+    ref = det_mmd
+    cfg = small_cfg()
+    params = m_c_init(jax.random.PRNGKey(9), cfg)
+    tmodel = ref["M_C"](*legacy_dicts(cfg))
+    for nm in ("decoder_l", "decoder_a", "decoder_v"):
+        copy_decoder(getattr(tmodel, nm), params[nm])
+    copy_mfn(tmodel.mfn_encoder, params["mfn_enc"]["mfn"])
+    copy_linear(tmodel.last_to_zy_fc1, params["mfn_enc"]["last_to_zy"])
+    copy_mlp2(tmodel, "zy_to_fy", params["zy_to_fy"])
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    x = make_x(cfg, seed=14)
+    (ours_dec, ours_mmd, _), (theirs_dec, theirs_mmd, _) = run_both(
+        tmodel, m_c_apply, params, cfg, x
+    )
+    assert_decoded(ours_dec, theirs_dec, "M_C")
+    close(ours_mmd, theirs_mmd, what="M_C deterministic MMD term")
+
+
+def test_m_d_matches_reference(ref):
+    cfg = small_cfg()
+    params = m_d_init(jax.random.PRNGKey(10), cfg)
+    tmodel = ref["M_D"](*legacy_dicts(cfg))
+    for nm in ("encoder_l", "encoder_a", "encoder_v"):
+        copy_encoder(getattr(tmodel, nm), params["enc"][nm])
+    copy_mlp2(tmodel, "zl_to_fl", params["zl_to_fl"])
+    copy_mlp2(tmodel, "za_to_fa", params["za_to_fa"])
+    copy_mlp2(tmodel, "zv_to_fv", params["zv_to_fv"])
+    copy_linear(tmodel.fs_to_y, params["fs_to_y"])
+
+    x = make_x(cfg, seed=15)
+    (ours_dec, ours_mmd, _), (theirs_dec, theirs_mmd, _) = run_both(
+        tmodel, m_d_apply, params, cfg, x
+    )
+    assert_decoded(ours_dec, theirs_dec, "M_D")
+    assert float(ours_mmd) == float(theirs_mmd) == 0.0
+
+
+def test_seq2seq_matches_reference(det_mmd):
+    ref = det_mmd
+    cfg = small_cfg()
+    params = seq2seq_init(jax.random.PRNGKey(11), cfg)
+    tmodel = ref["seq2seq"](*legacy_dicts(cfg))
+    for nm in ("encoder_la_to_v", "encoder_lv_to_a", "encoder_av_to_l"):
+        copy_encoder(getattr(tmodel, nm), params[nm])
+    for nm in ("decoder_l", "decoder_a", "decoder_v"):
+        copy_decoder(getattr(tmodel, nm), params[nm])
+    copy_mlp2(tmodel, "zl_to_fl", params["zl_to_fl"])
+    copy_mlp2(tmodel, "za_to_fa", params["za_to_fa"])
+    copy_mlp2(tmodel, "zv_to_fv", params["zv_to_fv"])
+
+    x = make_x(cfg, seed=16)
+    tmodel.eval()
+    with torch.no_grad():
+        t_nol, t_noa, t_nov, t_mmd = tmodel.forward(torch.tensor(x))
+    o_nol, o_noa, o_nov, o_mmd = seq2seq_apply(
+        params, jnp.asarray(x), cfg, key=jax.random.PRNGKey(0), train=False
+    )
+    close(o_nol[0], t_nol[0], what="seq2seq.x_l_hat_nol")
+    close(o_noa[0], t_noa[0], what="seq2seq.x_a_hat_noa")
+    close(o_nov[0], t_nov[0], what="seq2seq.x_v_hat_nov")
+    close(o_mmd, t_mmd, what="seq2seq deterministic MMD term")
+
+
+def test_basic_missing_matches_reference(det_mmd):
+    ref = det_mmd
+    cfg = small_cfg()
+    params = basic_missing_init(jax.random.PRNGKey(12), cfg)
+    tmodel = ref["basic_missing"](*legacy_dicts(cfg))
+    for nm in ("encoder_la_to_y", "encoder_lv_to_y", "encoder_av_to_y"):
+        copy_encoder(getattr(tmodel, nm), params[nm])
+    copy_mlp2(tmodel, "zy_nol_to_y", params["zy_nol_to_y"])
+    copy_mlp2(tmodel, "zy_noa_to_y", params["zy_noa_to_y"])
+    copy_mlp2(tmodel, "zy_nov_to_y", params["zy_nov_to_y"])
+
+    x = make_x(cfg, seed=17)
+    tmodel.eval()
+    with torch.no_grad():
+        t_nol, t_noa, t_nov, t_mmd = tmodel.forward(torch.tensor(x))
+    o_nol, o_noa, o_nov, o_mmd = basic_missing_apply(
+        params, jnp.asarray(x), cfg, key=jax.random.PRNGKey(0), train=False
+    )
+    close(o_nol, t_nol, what="basic_missing.y_hat_nol")
+    close(o_noa, t_noa, what="basic_missing.y_hat_noa")
+    close(o_nov, t_nov, what="basic_missing.y_hat_nov")
+    close(o_mmd, t_mmd, what="basic_missing deterministic MMD term")
