@@ -50,7 +50,7 @@ DATASETS = {
     # MOSI rebuilt from the PUBLIC CMU-MultimodalSDK .csd releases
     # (the reference README's download pointer, README.md:28-30); the
     # audio/visual dims depend on the csd files, so input_dims are
-    # patched after loading (data/mmsdk.py LAST_INPUT_DIMS)
+    # patched after loading (data/mmsdk.py SdkSplits.input_dims)
     "mosi_sdk": dict(task="regression", threshold=0.0, mode="ge",
                      input_dims=[300, 74, 47], output_dim=1),
     # CMU-MOSEI sentiment regression from public .csd files (column 0
@@ -61,15 +61,29 @@ DATASETS = {
 }
 
 
-def load_dataset(name, seqlength, data_root):
+def load_dataset(name, seqlength, data_root, split=None):
     from factorized_tpu.data import mmmo, mmsdk, mosi, moud, youtube
 
     if name == "mosei_sdk":
         return mmsdk.get_data(seqlength, data_root=data_root,
-                              files=mmsdk.MOSEI_FILES)
-    mod = {"mosi": mosi, "moud": moud, "you": youtube, "mmmo": mmmo,
-           "mosi_sdk": mmsdk}[name]
+                              files=mmsdk.MOSEI_FILES, split=split)
+    if name == "mosi_sdk":
+        return mmsdk.get_data(seqlength, data_root=data_root, split=split)
+    mod = {"mosi": mosi, "moud": moud, "you": youtube, "mmmo": mmmo}[name]
     return mod.get_data(seqlength, data_root=data_root)
+
+
+def parse_split(arg):
+    """``--split "52,10"`` -> (52, 10) (train/valid video counts; the
+    remainder is test)."""
+    if arg is None:
+        return None
+    try:
+        n_tr, n_va = (int(p) for p in arg.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"--split must be N_TRAIN,N_VALID video counts, got {arg!r}")
+    return (n_tr, n_va)
 
 
 def _seed_parallel_mesh(n_seeds):
@@ -87,15 +101,14 @@ def _seed_parallel_mesh(n_seeds):
     return make_mesh()
 
 
-def _dataset_info(name):
-    """DATASETS entry, with input_dims patched from the loaded csd
-    widths for the SDK datasets (call AFTER load_dataset)."""
+def _dataset_info(name, data=None):
+    """DATASETS entry, with input_dims patched from the loaded data's
+    actual feature widths when the loader reports them (the SDK csd
+    loader returns an ``SdkSplits`` carrying ``input_dims``)."""
     info = DATASETS[name]
-    if name in ("mosi_sdk", "mosei_sdk"):
-        from factorized_tpu.data import mmsdk
-
-        if mmsdk.LAST_INPUT_DIMS:
-            info = dict(info, input_dims=list(mmsdk.LAST_INPUT_DIMS))
+    dims = getattr(data, "input_dims", None)
+    if dims:
+        info = dict(info, input_dims=list(dims))
     return info
 
 
@@ -156,12 +169,73 @@ def dispatch_trainer(data, cfg, info, *, lr, logger, seed,
                      f"missing={cfg.missing} zeros={cfg.zeros}")
 
 
+def run_bucket_search(args, data, info, rng):
+    """Shape-bucketed search: sample ``--trials`` configs, group them by
+    compilation signature, and train each bucket as ONE vmapped program
+    (x ``--seeds`` lanes per config) — the TPU-shaped form of the
+    reference's one-model-at-a-time infinite search
+    (``mfm_mosi.py:1302-1369``). See docs/scaling.md."""
+    from factorized_tpu.parallel.multiconfig import (
+        bucket_configs,
+        train_config_bucket,
+    )
+
+    n = args.trials or 16  # --trials 0: run forever in rounds of 16
+    round_i = 0
+    while True:
+        cfgs = []
+        for _ in range(n):
+            cfg = sample_search_config(args.dataset, rng,
+                                       model_type=args.type,
+                                       missing=args.missing,
+                                       zeros=args.zeros)
+            if args.dataset in ("mosi_sdk", "mosei_sdk"):
+                cfg = cfg.replace(input_dims=info["input_dims"])
+            if args.epochs:
+                cfg = cfg.replace(num_epochs=args.epochs)
+            if args.batchsize:
+                cfg = cfg.replace(batchsize=args.batchsize)
+            cfgs.append(cfg)
+        buckets = bucket_configs(cfgs)
+        print(f"bucket search round {round_i}: {len(cfgs)} configs -> "
+              f"{len(buckets)} shape buckets "
+              f"(sizes {[len(b) for b in buckets]})")
+        for bi, idxs in enumerate(buckets):
+            bucket = [cfgs[i] for i in idxs]
+            logger = RunLogger(args.out,
+                               run_id=f"{args.dataset}_r{round_i}b{bi}")
+            logger.record("config", bucket=[c.to_dict() for c in bucket])
+            kw = dict(logger=logger, seed=args.seed + round_i,
+                      seeds_per_config=max(args.seeds, 1))
+            # moud/you ride config lr (mfm_moud.py:466); mosi/mmmo the
+            # torch Adam default unless --lr given (mfm_mosi.py:403)
+            if info["task"] == "classification":
+                kw["use_config_lr"] = True
+            else:
+                kw["lr"] = args.lr
+            if args.seed_parallel:
+                kw["mesh"] = _seed_parallel_mesh(
+                    len(bucket) * max(args.seeds, 1))
+            if info["threshold"] is not None:
+                kw.update(binary_threshold=info["threshold"],
+                          threshold_mode=info["mode"])
+            train_config_bucket(*data, bucket, **kw)
+            logger.close()
+        round_i += 1
+        if args.trials:
+            break
+    return 0
+
+
 def run_dataset(args):
     base = (MFMConfig.from_json(args.config) if args.config
             else MFMConfig(seqlength=20))
-    data = load_dataset(args.dataset, base.seqlength, args.data_root)
-    info = _dataset_info(args.dataset)
+    data = load_dataset(args.dataset, base.seqlength, args.data_root,
+                        split=parse_split(args.split))
+    info = _dataset_info(args.dataset, data)
     rng = random.Random(args.seed)
+    if args.mode == "search" and args.bucket:
+        return run_bucket_search(args, data, info, rng)
 
     trial = 0
     while True:
@@ -198,20 +272,31 @@ def run_dataset(args):
         # moud/you pass config lr to Adam (mfm_moud.py:466); mosi/mmmo
         # use the torch default (mfm_mosi.py:403)
         lr = cfg.lr if info["task"] == "classification" else args.lr
-        # kl_ef trains with the two-stage beta-VAE schedule, which the
-        # vmapped multiseed path does not implement - route only the
-        # joint-loss types through it
-        if args.seeds > 1 and cfg.model_type in ("mfm", "kl") \
-                and not (cfg.missing or cfg.zeros):
-            if args.resume:
-                raise SystemExit(
-                    "--resume is not supported with --seeds > 1 (the "
-                    "vmapped multiseed trainer has no checkpoint state); "
-                    "drop one of the flags")
-            from factorized_tpu.parallel.multiseed import train_mfm_multiseed
+        if args.seeds > 1:
+            from factorized_tpu.parallel.multiseed import (
+                MULTISEED_TYPES,
+                train_mfm_multiseed,
+            )
 
+            # kl_ef trains with the two-stage beta-VAE schedule and
+            # missing/zeros with their 4-way losses, which the vmapped
+            # multiseed path does not implement — REFUSE rather than
+            # silently train one seed
+            if cfg.model_type not in MULTISEED_TYPES or cfg.missing \
+                    or cfg.zeros:
+                raise SystemExit(
+                    f"--seeds {args.seeds} is only supported for model "
+                    f"types {'/'.join(MULTISEED_TYPES)} without "
+                    f"--missing/--zeros; type {cfg.model_type!r} "
+                    f"(missing={cfg.missing}, zeros={cfg.zeros}) would "
+                    "otherwise silently train a single seed - drop "
+                    "--seeds or switch types")
             kw = dict(logger=logger, seed=args.seed + trial, lr=lr,
-                      n_seeds=args.seeds)
+                      n_seeds=args.seeds, resume_from=args.resume,
+                      ckpt_every=args.ckpt_every)
+            if args.ckpt_every:
+                kw["ckpt_dir"] = (f"{args.out}/ckpt_auto_"
+                                  f"{args.dataset}_{trial}")
             if args.seed_parallel:
                 kw["mesh"] = _seed_parallel_mesh(args.seeds)
             if info["threshold"] is not None:
@@ -271,14 +356,11 @@ def run_mosi_acc(args):
         logger = RunLogger(args.out, run_id=f"mosi_acc_{trial}")
         logger.record("config", **cfg.to_dict())
         if args.seeds > 1:
-            if args.resume:
-                raise SystemExit(
-                    "--resume is not supported with --seeds > 1 (the "
-                    "vmapped multiseed trainer has no checkpoint state); "
-                    "drop one of the flags")
             from factorized_tpu.parallel.multiseed import train_mfm_multiseed
 
-            kw = {}
+            kw = dict(resume_from=args.resume, ckpt_every=args.ckpt_every)
+            if args.ckpt_every:
+                kw["ckpt_dir"] = f"{args.out}/ckpt_auto_mosi_acc_{trial}"
             if args.seed_parallel:
                 kw["mesh"] = _seed_parallel_mesh(args.seeds)
             train_mfm_multiseed(
@@ -351,7 +433,7 @@ def run_predictor(args):
     from factorized_tpu.config import best_mfn_mosi_config
 
     data = load_dataset(args.dataset, 20, args.data_root)
-    info = _dataset_info(args.dataset)
+    info = _dataset_info(args.dataset, data)
     rng = random.Random(args.seed)
     trial = 0
     while True:
@@ -452,19 +534,22 @@ def run_test_attention(args):
 def run_multitrait(args):
     """POM/IEMOCAP-style multi-trait regression (present in the
     reference only as check.py's aggregation modes), plus the PUBLIC
-    CMU-MOSEI path (``--style mosei_sdk``: SDK .csd files whose label
-    sequence carries sentiment + 6 emotion columns)."""
+    .csd paths: ``--style mosei_sdk`` (sentiment + 6 emotion columns)
+    and ``--style pom_sdk`` (the 17 POM speaker-trait columns,
+    reference surface ``mfm_mmmo.py:33-345`` + ``check.py:226-250``)."""
     from factorized_tpu.data import multitrait
 
     base = (MFMConfig.from_json(args.config) if args.config
             else MFMConfig(seqlength=20))
-    if args.style == "mosei_sdk":
+    if args.style in ("mosei_sdk", "pom_sdk"):
         from factorized_tpu.data import mmsdk
 
+        files = (mmsdk.MOSEI_FILES if args.style == "mosei_sdk"
+                 else mmsdk.POM_FILES)
         data = mmsdk.get_data(base.seqlength, data_root=args.data_root,
-                              files=mmsdk.MOSEI_FILES,
-                              label_mode="vector")
-        input_dims = list(mmsdk.LAST_INPUT_DIMS)
+                              files=files, label_mode="vector",
+                              split=parse_split(args.split))
+        input_dims = list(data.input_dims)
     else:
         data = multitrait.get_data(base.seqlength,
                                    data_root=args.data_root,
@@ -485,13 +570,15 @@ def run_multitrait(args):
         if args.batchsize:
             cfg = cfg.replace(batchsize=args.batchsize)
         logger = RunLogger(args.out, run_id=f"{args.style}_{trial}")
-        if args.style == "mosei_sdk":
+        if args.style in ("mosei_sdk", "pom_sdk"):
             from factorized_tpu.data.mmsdk import MOSEI_TRAITS
 
             # trait names in the run record: the per-trait metric lists
             # (mae: [..]) are positional, this documents the columns
+            traits = (MOSEI_TRAITS if args.style == "mosei_sdk"
+                      else multitrait.POM_TRAITS)
             logger.record("config", style=args.style,
-                          traits=MOSEI_TRAITS, **cfg.to_dict())
+                          traits=traits, **cfg.to_dict())
         else:
             logger.record("config", style=args.style, **cfg.to_dict())
         res = trainers.train_mfm_multitrait(
@@ -546,6 +633,11 @@ def build_parser():
         sp.add_argument("--lr", type=float, default=None)
         sp.add_argument("--seed", type=int, default=123)
         sp.add_argument("--data-root", default=None)
+        sp.add_argument("--split", default=None, metavar="N_TRAIN,N_VALID",
+                        help="video-count split for the SDK csd "
+                             "datasets (default: MOSI's 52,10 when the "
+                             "set has exactly 93 videos, proportional "
+                             "56%%/11%% otherwise)")
         sp.add_argument("--out", default="runs",
                         help="JSONL metrics directory")
         sp.add_argument("--save-ckpt", action="store_true",
@@ -558,10 +650,22 @@ def build_parser():
                              "under --out")
         sp.add_argument("--seeds", type=int, default=1,
                         help=">1: train K seeds simultaneously (vmapped)")
+        sp.add_argument("--bucket", action="store_true",
+                        help="with --mode search: group sampled configs "
+                             "by shape signature and train each bucket "
+                             "as ONE vmapped program (per-lane dropout/"
+                             "loss-weight/lr traced); x --seeds lanes "
+                             "per config")
         sp.add_argument("--seed-parallel", action="store_true",
                         help="with --seeds>1: shard the seed axis over "
                              "all visible devices (linear multi-chip "
                              "scaling, zero collectives)")
+        sp.add_argument("--multihost", action="store_true",
+                        help="initialize the multi-host runtime "
+                             "(jax.distributed) before training; "
+                             "coordinator from JAX_COORDINATOR_ADDRESS/"
+                             "JAX_NUM_PROCESSES/JAX_PROCESS_ID or TPU "
+                             "metadata auto-detection")
 
     for name in DATASETS:
         sp = sub.add_parser(name)
@@ -627,7 +731,7 @@ def build_parser():
                         help="POM/IEMOCAP-style multi-trait regression")
     common(sp)
     sp.add_argument("--style", default="pom",
-                    choices=["pom", "iemocap", "mosei_sdk"])
+                    choices=["pom", "iemocap", "mosei_sdk", "pom_sdk"])
     sp.set_defaults(func=run_multitrait)
 
     sp = sub.add_parser("check")
@@ -648,6 +752,11 @@ def main(argv=None):
 
     enable()
     args = build_parser().parse_args(argv)
+    if getattr(args, "multihost", False):
+        # must precede any backend use so jax.devices() is global
+        from factorized_tpu.parallel import init_distributed
+
+        init_distributed()
     return args.func(args)
 
 

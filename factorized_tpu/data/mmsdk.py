@@ -62,13 +62,41 @@ MOSEI_FILES = {
 MOSEI_TRAITS = ["sentiment", "happy", "sad", "anger", "surprise",
                 "disgust", "fear"]
 
+# POM releases (speaker-trait regression): the labels sequence carries
+# one column per trait in the SDK's column order, which matches
+# data/multitrait.py POM_TRAITS (confident .. humorous, 17 columns).
+# Filenames follow the SDK's published release names; override via
+# ``files=`` if a download uses different ones.
+POM_FILES = {
+    "text": "POM_TimestampedWordVectors.csd",
+    "audio": "POM_COVAREP.csd",
+    "visual": "POM_Facet_42.csd",
+    "labels": "POM_Labels.csd",
+}
+
 SEQLENGTH = 20
 
-# input dims of the most recent get_data() call — the CLI reads this to
-# size the model (csd feature widths are only known once files open)
-LAST_INPUT_DIMS = None
+# the reference MOSI split: 52 train / 10 valid / 31 test videos of the
+# full 93 (``data_loader.py:122-124``)
+MOSI_N_VIDEOS = 93
+MOSI_SPLIT = (52, 10)
 
 _SEG_RE = re.compile(r"^(.*)\[(\d+)\]$")
+
+
+class SdkSplits(tuple):
+    """The standard 6-tuple ``(X_train, y_train, X_valid, y_valid,
+    X_test, y_test)`` — unpacks everywhere the pickle loaders' tuples
+    do — carrying ``input_dims`` ([text, audio, visual] feature widths,
+    known only once the csd files are open) as an attribute so callers
+    can size models without module-global state."""
+
+    input_dims: list
+
+    def __new__(cls, arrays, input_dims):
+        obj = super().__new__(cls, arrays)
+        obj.input_dims = list(input_dims)
+        return obj
 
 
 def read_csd(path):
@@ -80,6 +108,14 @@ def read_csd(path):
         roots = list(f.keys())
         if not roots:
             raise ValueError(f"empty csd file: {path}")
+        if len(roots) != 1:
+            # a real SDK csd has exactly one root computational
+            # sequence; silently reading the alphabetically-first one
+            # of several would load the wrong data
+            raise ValueError(
+                f"csd file {path} has {len(roots)} root groups "
+                f"({sorted(roots)}); expected exactly one computational "
+                "sequence - the file is malformed or concatenated")
         data = f[roots[0]]["data"]
         for seg_id in data:
             grp = data[seg_id]
@@ -237,16 +273,14 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
     multi-trait trainer's contract (MOSEI: pass ``files=MOSEI_FILES``).
 
     ``split=(n_train_videos, n_valid_videos)``; the remainder is test.
-    Default: MOSI's 52/10/31 (``data_loader.py:122-124``) when the
-    dataset has enough videos, otherwise the same PROPORTIONS
-    (56%/11%/rest, at least one video per split) — so fixture-sized
-    or subset downloads still load.
+    Default: the reference's absolute 52/10/31
+    (``data_loader.py:122-124``) ONLY when the dataset is exactly
+    MOSI-sized (93 videos); any other video count — fixture subsets or
+    much larger sets like CMU-MOSEI (~3200 videos, where 52 absolute
+    train videos would be degenerate) — gets the same PROPORTIONS
+    (56%/11%/rest, at least one video per split). Pass ``split=`` (CLI:
+    ``--split N_TRAIN,N_VALID``) to override either way.
     """
-    global LAST_INPUT_DIMS
-    # reset up front so a failed load can never leave a previous call's
-    # dims behind; the CLI reads this immediately after a successful
-    # get_data (load_dataset -> _dataset_info ordering)
-    LAST_INPUT_DIMS = None
     if not data_root or not os.path.isdir(data_root):
         raise FileNotFoundError(
             "mosi_sdk needs --data-root pointing at CMU-MultimodalSDK "
@@ -255,12 +289,12 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
     by_vid = load_segments(data_root, files, label_mode=label_mode)
     vids = sorted(by_vid.items(), key=lambda kv: kv[0])
     if split is None:
-        if len(vids) > 62:
-            n_tr, n_va = 52, 10
+        if len(vids) == MOSI_N_VIDEOS:
+            split = MOSI_SPLIT
         else:
-            n_tr = max(1, int(len(vids) * 52 / 93))
-            n_va = max(1, int(len(vids) * 10 / 93))
-        split = (n_tr, n_va)
+            n_tr = max(1, int(len(vids) * MOSI_SPLIT[0] / MOSI_N_VIDEOS))
+            n_va = max(1, int(len(vids) * MOSI_SPLIT[1] / MOSI_N_VIDEOS))
+            split = (n_tr, n_va)
     n_tr, n_va = split
     if len(vids) <= n_tr + n_va:
         raise ValueError(
@@ -281,11 +315,12 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
         co_max = compute_train_max(co_tr)
         co_tr, co_va, co_te = co_tr / co_max, co_va / co_max, co_te / co_max
 
-    LAST_INPUT_DIMS = [te_tr.shape[2], co_tr.shape[2], fa_tr.shape[2]]
-
     def build(t, c, f):
         return np.concatenate([t, c, f], axis=2).astype(np.float32)
 
-    return (build(te_tr, co_tr, fa_tr), y_tr,
-            build(te_va, co_va, fa_va), y_va,
-            build(te_te, co_te, fa_te), y_te)
+    return SdkSplits(
+        (build(te_tr, co_tr, fa_tr), y_tr,
+         build(te_va, co_va, fa_va), y_va,
+         build(te_te, co_te, fa_te), y_te),
+        input_dims=[te_tr.shape[2], co_tr.shape[2], fa_tr.shape[2]],
+    )

@@ -58,7 +58,7 @@ def _zf_all(params, zy, zl, za, zv, cfg, key, train):
     """The four z->f MLPs as two block-diagonal GEMMs (their inputs are
     independent, so fc1s/fc2s fuse; dropout keys/rates stay per-MLP on
     slices — same math as four separate relu(fc2(drop(relu(fc1(z))))))."""
-    from factorized_tpu.ops.core import dropout
+    from factorized_tpu.ops.core import dropout, rate_active
 
     zf = params["zf"]
     names = ("zy_to_fy", "zl_to_fl", "za_to_fa", "zv_to_fv")
@@ -85,12 +85,13 @@ def _zf_all(params, zy, zl, za, zv, cfg, key, train):
 
     z_cat = jnp.concatenate(zs, axis=1)
     h = jax.nn.relu(z_cat @ w1 + b1)
-    if train and any(r > 0.0 for r in rates):
+    if any(rate_active(r, train) for r in rates):
         parts = []
         o = 0
         for f, rate, kk in zip(f_dims, rates, k):
             sl = h[:, o:o + f]
-            parts.append(dropout(kk, sl, rate, train) if rate > 0.0 else sl)
+            parts.append(dropout(kk, sl, rate, train)
+                         if rate_active(rate, train) else sl)
             o += f
         h = jnp.concatenate(parts, axis=1)
     f_cat = jax.nn.relu(h @ w2 + b2)

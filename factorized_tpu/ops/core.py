@@ -39,17 +39,39 @@ def linear_apply(params, x):
     return x @ params["w"] + params["b"]
 
 
-def dropout(key, x, rate: float, train: bool):
-    """Inverted dropout. `rate` must be a python float (static under jit)."""
-    if not train or rate <= 0.0:
+def rate_is_static(rate) -> bool:
+    """True when a dropout rate is a plain python number (compile-time
+    constant); False for traced values (per-lane rates under the
+    config-vmapped search, parallel/multiconfig.py)."""
+    return isinstance(rate, (int, float))
+
+
+def rate_active(rate, train: bool) -> bool:
+    """Whether a dropout site must execute: always for traced rates
+    (the value is only known at run time), else only when > 0."""
+    return bool(train) and (not rate_is_static(rate) or rate > 0.0)
+
+
+def dropout(key, x, rate, train: bool):
+    """Inverted dropout. ``rate`` may be a python float (static under
+    jit — zero-rate sites compile away) or a traced scalar (per-lane
+    rates under vmap; rate 0 still yields exactly x: the keep mask is
+    all-ones and the scale is 1)."""
+    if not train:
         return x
-    if rate >= 1.0:
-        # torch zeroes everything with zero grads; x/keep would be 0*inf
-        return jnp.zeros_like(x)
-    keep = 1.0 - rate
+    if rate_is_static(rate):
+        if rate <= 0.0:
+            return x
+        if rate >= 1.0:
+            # torch zeroes everything with zero grads; x/keep = 0*inf
+            return jnp.zeros_like(x)
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        # multiply form keeps the VJP NaN-free (no division inside where)
+        return x * (mask.astype(x.dtype) * (1.0 / keep))
+    keep = jnp.maximum(1.0 - rate, 1e-6)  # guard rate ~ 1.0
     mask = jax.random.bernoulli(key, keep, x.shape)
-    # multiply form keeps the VJP NaN-free (no division inside where)
-    return x * (mask.astype(x.dtype) * (1.0 / keep))
+    return x * (mask.astype(x.dtype) * (1.0 / keep).astype(x.dtype))
 
 
 def mlp2_init(key, d_in: int, d_hidden: int, d_out: int, dtype=jnp.float32):
@@ -60,11 +82,11 @@ def mlp2_init(key, d_in: int, d_hidden: int, d_out: int, dtype=jnp.float32):
     }
 
 
-def mlp2_apply(params, x, *, key=None, drop: float = 0.0, train: bool = False):
+def mlp2_apply(params, x, *, key=None, drop=0.0, train: bool = False):
     """``fc2(dropout(relu(fc1(x))))`` — the final nonlinearity (relu /
     softmax / tanh / sigmoid / identity) is applied by the caller, since
     it differs per use-site in the reference."""
     h = jax.nn.relu(linear_apply(params["fc1"], x))
-    if train and drop > 0.0:
+    if rate_active(drop, train):
         h = dropout(key, h, drop, train)
     return linear_apply(params["fc2"], h)

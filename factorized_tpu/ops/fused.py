@@ -199,11 +199,11 @@ def _mlp2_pair_merged(p1, p2, x, drops, keys, train):
     h = jax.nn.relu(x @ w1 + b1)
     h1, h2 = h[..., :s1], h[..., s1:]
     if train:
-        from factorized_tpu.ops.core import dropout
+        from factorized_tpu.ops.core import dropout, rate_active
 
-        if drops[0] > 0.0:
+        if rate_active(drops[0], train):
             h1 = dropout(keys[0], h1, drops[0], train)
-        if drops[1] > 0.0:
+        if rate_active(drops[1], train):
             h2 = dropout(keys[1], h2, drops[1], train)
     o1 = h1 @ p1["fc2"]["w"] + p1["fc2"]["b"]
     o2 = h2 @ p2["fc2"]["w"] + p2["fc2"]["b"]
@@ -252,7 +252,11 @@ def fused_mfm_encode(enc_cells, mfn_params, x_l, x_a, x_v, *, mem_dim,
         (att_in + mem_dim) * (site_sizes[2] + site_sizes[3]),
     ]
     # masks only exist when training with at least one nonzero rate
-    use_masks = train and key is not None and any(d > 0.0 for d in drops)
+    # (traced rates count as nonzero: the value is run-time data)
+    from factorized_tpu.ops.core import rate_active
+
+    use_masks = (train and key is not None
+                 and any(rate_active(d, train) for d in drops))
     mask_words = t * n * sum(site_sizes) if use_masks else 0
     if _pallas_ok(pallas_mfn.encode_fits(t, n, h_tot, mem_dim, att_in,
                                          widths, mask_words)):

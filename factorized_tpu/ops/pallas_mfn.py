@@ -63,14 +63,19 @@ def make_dropout_masks(key, t, n, sizes, drops):
     """(t, n, sum(sizes)) scaled keep-masks matching the scan path's
     per-step threefry stream (ops/mfn.py key layout: split(key, t*4)
     reshaped (t, 4)); rate-0 sites get all-ones."""
+    from factorized_tpu.ops.core import rate_is_static
+
     ks = jax.random.split(key, t * 4)
     ks = ks.reshape((t, 4) + ks.shape[1:])
     cols = []
     for site, (s, rate) in enumerate(zip(sizes, drops)):
-        if rate <= 0.0:
+        if rate_is_static(rate) and rate <= 0.0:
             cols.append(jnp.ones((t, n, s), jnp.float32))
         else:
-            keep = 1.0 - rate
+            # rate may be traced (per-lane under the config-vmapped
+            # search); a traced 0 still yields an exact all-ones mask
+            keep = (1.0 - rate if rate_is_static(rate)
+                    else jnp.maximum(1.0 - rate, 1e-6))
             bern = jax.vmap(
                 lambda k: jax.random.bernoulli(k, keep, (n, s))
             )(ks[:, site])

@@ -6,5 +6,6 @@ demonstrative TP axis on the widest projections)."""
 
 from factorized_tpu.parallel.sharding import (  # noqa: F401
     DataParallel,
+    init_distributed,
     make_mesh,
 )

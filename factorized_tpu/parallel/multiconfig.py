@@ -1,0 +1,317 @@
+"""Shape-bucketed config-vmapped search: train MANY search trials as
+one program.
+
+The reference's production workload is an infinite random search
+(``mfm_mosi.py:1302-1369``): every trial draws a config and trains it
+from scratch, one model at a time. Most sampled fields do NOT change
+the compiled program — the 9 dropout rates, the 4 loss weights and the
+learning rate (``mfm_mosi.py:1311-1344``) are VALUES, not shapes. Only
+the size fields (h_dims, z/f sizes, memsize, attention shapes,
+batchsize) change program structure.
+
+So: bucket sampled configs by their shape signature and train each
+bucket as ONE ``jax.vmap``-ed program, with the per-lane value fields
+traced in as a (K, n_hp) hyperparameter matrix (see
+``ops/core.dropout``'s traced-rate path). Search throughput then scales
+like the K-seed multiseed trainer (``parallel/multiseed.py``) instead
+of one-model-at-a-time — and composes with it: each config can occupy
+``seeds_per_config`` lanes.
+
+Lane semantics are identical to :func:`trainers.train_mfm` per lane:
+same joint loss, Adam, per-lane ReduceLROnPlateau, per-lane best-valid
+keeping, per-lane test scoring.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from factorized_tpu.models import get_model
+from factorized_tpu.parallel.multiseed import MULTISEED_TYPES, _Null
+from factorized_tpu.train import (
+    make_batches,
+    make_eval_fn,
+    make_loss_fn,
+    make_optimizer,
+    shuffle_and_time_major,
+)
+from factorized_tpu.utils.logging import RunLogger
+from factorized_tpu.utils.metrics import score_classification, score_regression
+from factorized_tpu.utils.scheduler import ReduceLROnPlateau
+
+# Per-lane VALUE fields: traced into the vmapped program as a (K, n_hp)
+# matrix. Everything the per-dataset search samples that is not a shape
+# (config.py sample_search_config).
+HP_FIELDS = (
+    "zy_to_fy_dropout", "zl_to_fl_dropout", "za_to_fa_dropout",
+    "zv_to_fv_dropout", "fy_to_y_dropout",
+    "att1_drop", "att2_drop", "gamma1_drop", "gamma2_drop",
+    "lda_mmd", "lda_xl", "lda_xa", "lda_xv",
+)
+
+# Fields that change the compiled program: configs must agree on ALL of
+# these to share a bucket.
+SHAPE_FIELDS = (
+    "input_dims", "h_dims", "memsize", "windowsize", "output_dim",
+    "seqlength", "zy_size", "zl_size", "za_size", "zv_size",
+    "fy_size", "fl_size", "fa_size", "fv_size",
+    "att1_shape", "att2_shape", "gamma1_shape", "gamma2_shape",
+    "out_shape", "batchsize", "num_epochs", "task", "model_type",
+    "missing", "zeros",
+)
+
+
+def shape_signature(cfg) -> tuple:
+    """Hashable compilation signature of a config."""
+    vals = []
+    for f in SHAPE_FIELDS:
+        v = getattr(cfg, f)
+        vals.append(tuple(v) if isinstance(v, list) else v)
+    return tuple(vals)
+
+
+def bucket_configs(cfgs: Sequence) -> List[List[int]]:
+    """Group config indices by shape signature (insertion order)."""
+    groups = defaultdict(list)
+    for i, c in enumerate(cfgs):
+        groups[shape_signature(c)].append(i)
+    return list(groups.values())
+
+
+def lane_cfg(rep_cfg, hp_vec):
+    """The representative config with its VALUE fields replaced by one
+    lane's traced hyperparameters."""
+    return rep_cfg.replace(**{f: hp_vec[i] for i, f in enumerate(HP_FIELDS)})
+
+
+def hp_matrix(cfgs: Sequence, seeds_per_config: int) -> np.ndarray:
+    """(K, n_hp) lane hyperparameters, lane = (config major, seed minor)."""
+    rows = []
+    for c in cfgs:
+        row = [float(getattr(c, f)) for f in HP_FIELDS]
+        rows.extend([row] * seeds_per_config)
+    return np.asarray(rows, np.float32)
+
+
+class ConfigBucketProgram:
+    """Compiled K-lane epoch/eval/predict programs where each lane
+    carries its own (dropout rates, loss weights) vector."""
+
+    def __init__(self, apply_fn, rep_cfg, optimizer):
+        self.rep_cfg = rep_cfg
+        eval_fn = make_eval_fn(apply_fn, rep_cfg, "joint")
+
+        def loss_fn(params, x, y, key, hp):
+            # rebuild the joint loss with this lane's traced values —
+            # closure construction happens at trace time, the math is
+            # identical to the static path (tests/test_multiconfig.py)
+            inner = make_loss_fn(apply_fn, lane_cfg(rep_cfg, hp), "joint")
+            return inner(params, x, y, key)
+
+        def predict_fn(params, x):
+            out = apply_fn(params, x, rep_cfg, key=jax.random.PRNGKey(0),
+                           train=False)
+            y_hat = out[0][3]
+            return (jnp.squeeze(y_hat, 1) if rep_cfg.task == "regression"
+                    else y_hat)
+
+        self.predict = jax.jit(jax.vmap(predict_fn, in_axes=(0, None)))
+        self.predict_one = jax.jit(predict_fn)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def lane_step(params, opt_state, x, y, key, lr, hp):
+            (_, tracked), grads = grad_fn(params, x, y, key, hp)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+            return params, opt_state, tracked
+
+        vstep = jax.vmap(lane_step, in_axes=(0, 0, None, None, 0, 0, 0))
+
+        def epoch(params, opt_state, Xb, yb, keys, lrs, hps):
+            nb = Xb.shape[0]
+            bkeys = jax.vmap(lambda k: jax.random.split(k, nb))(keys)
+
+            def body(carry, batch):
+                params, opt_state, acc = carry
+                x, y, ks = batch
+                params, opt_state, tracked = vstep(params, opt_state, x, y,
+                                                   ks, lrs, hps)
+                return (params, opt_state, acc + tracked), None
+
+            K = lrs.shape[0]
+            (params, opt_state, acc), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.zeros((K,), jnp.float32)),
+                (Xb, yb, jnp.swapaxes(bkeys, 0, 1))
+            )
+            return params, opt_state, acc / nb
+
+        self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
+        self.evaluate = jax.jit(jax.vmap(eval_fn, in_axes=(0, None, None, 0)))
+
+
+def train_config_bucket(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, cfgs, *,
+    seeds_per_config: int = 1,
+    lr: Optional[float] = None,
+    use_config_lr: bool = False,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+    valid_metric: str = "loss",
+    mesh=None,
+):
+    """Train a BUCKET of same-shape configs — K = len(cfgs) *
+    seeds_per_config lanes — as one vmapped program.
+
+    All configs must share :func:`shape_signature`; they may differ in
+    any :data:`HP_FIELDS` value and in ``lr``. ``use_config_lr=True``
+    gives each lane its config's ``lr`` (the moud/you semantics,
+    ``mfm_moud.py:466``); otherwise all lanes use ``lr`` (default 1e-3,
+    the torch-Adam default the mosi trainers use, ``mfm_mosi.py:403``).
+
+    ``mesh``: same options as ``train_mfm_multiseed`` — a 1-D 'seed'
+    (or 'data') mesh shards the LANE axis (zero collectives, linear
+    chip scaling); 2-D ('seed', 'batch') additionally data-parallelizes
+    each lane.
+
+    Returns {"results": [per-lane {config_index, seed_index, metrics,
+    best_valid}], "best_lane": int, "best_params": pytree}.
+    """
+    logger = logger or RunLogger()
+    sigs = {shape_signature(c) for c in cfgs}
+    if len(sigs) != 1:
+        raise ValueError(
+            f"train_config_bucket got {len(sigs)} distinct shape "
+            "signatures; bucket configs with bucket_configs() first")
+    rep = cfgs[0]
+    name = rep.model_type if rep.model_type in MULTISEED_TYPES else "mfm"
+    if rep.model_type not in MULTISEED_TYPES and rep.model_type != "mfm":
+        raise ValueError(
+            f"config-bucketed search supports model types "
+            f"{MULTISEED_TYPES}; got {rep.model_type!r}")
+    K = len(cfgs) * seeds_per_config
+
+    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
+    Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
+    Xte = np.ascontiguousarray(np.asarray(X_test).swapaxes(0, 1), np.float32)
+    yv, yte = np.asarray(y_valid), np.asarray(y_test)
+    if rep.task == "classification":
+        yv, yte = yv.astype(np.int32), yte.astype(np.int32)
+        ytr = np.asarray(y_train, np.int32)
+    else:
+        yv, yte = yv.astype(np.float32), yte.astype(np.float32)
+        ytr = np.asarray(y_train, np.float32)
+
+    init, apply_fn = get_model(name)
+    opt = make_optimizer("adam", lr, rep.momentum)
+    base = jax.random.PRNGKey(seed)
+    keys = jax.random.split(base, K)
+    params = jax.vmap(lambda k: init(k, rep))(keys)
+    opt_state = jax.vmap(opt.init)(params)
+    program = ConfigBucketProgram(apply_fn, rep, opt)
+    hps = hp_matrix(cfgs, seeds_per_config)
+
+    if use_config_lr:
+        lane_lr = np.repeat([float(c.lr) for c in cfgs], seeds_per_config)
+    else:
+        lane_lr = np.full(K, 1e-3 if lr is None else lr)
+    lrs = lane_lr.astype(np.float32)
+
+    Xb, yb, _ = make_batches(X_train, ytr, rep.batchsize, False)
+    hps_d = jnp.asarray(hps)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        seed_ax = "seed" if "seed" in mesh.axis_names else "data"
+        n_dev = mesh.shape[seed_ax]
+        if K % n_dev:
+            raise ValueError(
+                f"lanes={K} (configs x seeds) must divide the mesh "
+                f"{seed_ax!r} axis ({n_dev})")
+        lane_sh = NamedSharding(mesh, P(seed_ax))
+        if "batch" in mesh.axis_names:
+            b_dev = mesh.shape["batch"]
+            if rep.batchsize % b_dev:
+                raise ValueError(
+                    f"batchsize={rep.batchsize} must divide the mesh "
+                    f"'batch' axis ({b_dev})")
+            x_sh = NamedSharding(mesh, P(None, None, "batch"))
+            y_sh = NamedSharding(mesh, P(None, "batch"))
+            xv_sh = (NamedSharding(mesh, P(None, "batch"))
+                     if Xv.shape[1] % b_dev == 0
+                     else NamedSharding(mesh, P()))
+        else:
+            x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
+        params = jax.device_put(params, lane_sh)
+        opt_state = jax.device_put(opt_state, lane_sh)
+        hps_d = jax.device_put(hps_d, NamedSharding(
+            mesh, P(seed_ax, None)))
+        Xb, yb = jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh)
+        Xv_d = jax.device_put(Xv, xv_sh)
+    else:
+        Xb, yb = jax.device_put(Xb), jax.device_put(yb)
+        Xv_d = jax.device_put(Xv)
+
+    schedulers = [ReduceLROnPlateau(float(v)) for v in lane_lr]
+    best = np.full(K, -np.inf if valid_metric == "accuracy" else np.inf)
+    best_params = [None] * K
+    key = jax.random.fold_in(base, 777)
+
+    history = []
+    for epoch_i in range(rep.num_epochs):
+        key, ek, vk = jax.random.split(key, 3)
+        ekeys = jax.random.split(ek, K)
+        params, opt_state, tracked = program.epoch(
+            params, opt_state, Xb, yb, ekeys, jnp.asarray(lrs), hps_d)
+        if valid_metric == "accuracy":
+            logits = np.asarray(program.predict(params, Xv_d))
+            valids = (np.argmax(logits, axis=2) == yv[None]).mean(axis=1)
+        else:
+            valids = np.asarray(
+                program.evaluate(params, Xv_d, yv, jax.random.split(vk, K)))
+        better = ((valids >= best) if valid_metric == "accuracy"
+                  else (valids <= best))
+        for k in range(K):
+            lrs[k] = schedulers[k].step(float(valids[k]))
+            if better[k]:
+                best[k] = valids[k]
+                best_params[k] = jax.tree.map(
+                    lambda a, k=k: np.asarray(a[k]), params)
+        logger.text(epoch_i, np.asarray(tracked).round(4).tolist(),
+                    valids.round(4).tolist())
+        logger.record("epoch", epoch=epoch_i,
+                      train_loss=np.asarray(tracked).tolist(),
+                      valid_loss=valids.tolist())
+        history.append({"epoch": epoch_i, "valids": valids.tolist()})
+
+    results = []
+    for k in range(K):
+        p_k = best_params[k] if best_params[k] is not None else jax.tree.map(
+            lambda a, k=k: np.asarray(a[k]), params)
+        y_hat = np.asarray(program.predict_one(p_k, Xte))
+        if rep.task == "classification":
+            m = score_classification(y_hat, yte, out=_Null())
+        else:
+            m = score_regression(y_hat, yte, binary_threshold,
+                                 threshold_mode, out=_Null())
+        results.append({
+            "config_index": k // seeds_per_config,
+            "seed_index": k % seeds_per_config,
+            "metrics": m,
+            "best_valid": float(best[k]),
+        })
+    key_metric = "accuracy" if rep.task == "classification" else "mae"
+    pick = (max if rep.task == "classification" else min)(
+        range(K), key=lambda k: results[k]["metrics"][key_metric])
+    logger.record("final", per_lane=[r["metrics"] for r in results],
+                  best_lane=pick,
+                  best_config_index=results[pick]["config_index"])
+    return {"results": results, "best_lane": pick,
+            "best_params": best_params[pick],
+            "params": best_params[pick], "history": history}

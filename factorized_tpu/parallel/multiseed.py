@@ -95,6 +95,86 @@ class MultiSeedProgram:
         return jax.vmap(lambda k: init(k, cfg))(keys)
 
 
+# Types whose apply returns the standard (decoded, reg, missing) tuple
+# trained with the single-stage joint loss — the only semantics this
+# vmapped trainer implements. kl_ef (two-stage beta-VAE schedule),
+# missing/zeros (4-way losses / zeroed-modality tests), s2s and bm have
+# dedicated trainers; routing them here would silently change training
+# semantics, so we refuse instead.
+MULTISEED_TYPES = ("mfm", "kl", "m_a", "m_b", "m_c", "m_d")
+
+
+def _stack_best(best_params, params):
+    """Per-seed best trees -> one (K, ...) stacked host tree; seeds
+    with no best yet (possible only before the first eval) fall back to
+    their live slice."""
+    live = jax.tree.map(np.asarray, params)
+    trees = [
+        bp if bp is not None else jax.tree.map(lambda a, k=k: a[k], live)
+        for k, bp in enumerate(best_params)
+    ]
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+def _multiseed_snapshot(path, cfg, params, opt_state, best_params, best,
+                        lrs, schedulers, epoch):
+    """Persist the FULL K-seed training state (live + per-seed-best
+    params, opt_state, best-valid, lr and scheduler internals) so a
+    killed search resumes exactly — the reference's closest analogue is
+    best-valid checkpointing without resume (``mfm_mosi.py:473-477``)."""
+    from factorized_tpu.utils.checkpoint import save_checkpoint
+
+    meta = cfg.to_dict()
+    meta["_ms_n_seeds"] = len(schedulers)
+    meta["_ms_best_valid"] = [float(b) for b in best]
+    meta["_ms_lrs"] = [float(v) for v in lrs]
+    meta["_ms_sched"] = [
+        {"lr": s.lr, "best": s.best, "bad": s.num_bad_epochs,
+         "cooldown": s.cooldown_counter}
+        for s in schedulers
+    ]
+    state = {"live": jax.tree.map(np.asarray, params),
+             "best": _stack_best(best_params, params)}
+    save_checkpoint(path, state, opt_state=jax.tree.map(np.asarray, opt_state),
+                    step=epoch + 1, config=meta)
+
+
+def _multiseed_resume(resume_from, params, opt_state, n_seeds, schedulers,
+                      logger):
+    """Restore a _multiseed_snapshot. Returns (params, opt_state,
+    best_params, best, lrs, start_epoch); mutates ``schedulers``."""
+    from factorized_tpu.utils.checkpoint import restore_checkpoint
+
+    host = jax.tree.map(np.asarray, params)
+    target = {"params": {"live": host, "best": host},
+              "opt_state": jax.tree.map(np.asarray, opt_state)}
+    state, meta = restore_checkpoint(resume_from, target=target)
+    mcfg = meta.get("config", {})
+    ck_seeds = mcfg.get("_ms_n_seeds")
+    if ck_seeds != n_seeds:
+        raise ValueError(
+            f"checkpoint at {resume_from} holds {ck_seeds} seeds but "
+            f"--seeds {n_seeds} was requested; they must match")
+    params = state["params"]["live"]
+    opt_state = state["opt_state"]
+    best_stack = state["params"]["best"]
+    best_params = [
+        jax.tree.map(lambda a, k=k: np.asarray(a[k]), best_stack)
+        for k in range(n_seeds)
+    ]
+    best = np.asarray(mcfg["_ms_best_valid"], np.float64)
+    lrs = np.asarray(mcfg["_ms_lrs"], np.float32)
+    for s, sd in zip(schedulers, mcfg["_ms_sched"]):
+        s.lr = sd["lr"]
+        s.best = sd["best"]
+        s.num_bad_epochs = sd["bad"]
+        s.cooldown_counter = sd["cooldown"]
+    start_epoch = int(meta.get("step", 0))
+    logger.text(f"resumed {n_seeds}-seed state from {resume_from} "
+                f"at epoch {start_epoch}")
+    return params, opt_state, best_params, best, lrs, start_epoch
+
+
 def train_mfm_multiseed(
     X_train, y_train, X_valid, y_valid, X_test, y_test, cfg, *,
     n_seeds: int = 8,
@@ -106,6 +186,9 @@ def train_mfm_multiseed(
     model_type: Optional[str] = None,
     valid_metric: str = "loss",
     mesh=None,
+    resume_from: Optional[str] = None,
+    ckpt_dir: Optional[str] = None,
+    ckpt_every: int = 0,
 ):
     """Train ``n_seeds`` independent models of one config in a single
     vmapped program. Returns per-seed metrics plus the best seed.
@@ -125,7 +208,13 @@ def train_mfm_multiseed(
       the training data over ``'batch'`` — each seed's gradients get
       one XLA-inserted ``psum`` over that axis per step. Use when the
       slice has more chips than wanted seeds (e.g. 16 chips, K=8 ->
-      mesh (8, 2): every seed trains 2-way data-parallel)."""
+      mesh (8, 2): every seed trains 2-way data-parallel).
+
+    ``ckpt_dir`` + ``ckpt_every``: every N epochs overwrite ``ckpt_dir``
+    with the full K-seed state (live + per-seed-best params, opt_state,
+    best-valid/lr/scheduler internals). ``resume_from``: restore such a
+    checkpoint and continue — the resumed run reproduces the
+    uninterrupted run exactly (same key chain, re-derived by epoch)."""
     logger = logger or RunLogger()
     X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
     Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
@@ -142,6 +231,11 @@ def train_mfm_multiseed(
     name = model_type or cfg.model_type
     if name not in MODELS:
         name = "mfm"
+    if name not in MULTISEED_TYPES:
+        raise ValueError(
+            f"multiseed training supports model types {MULTISEED_TYPES} "
+            f"(single-stage joint loss); {name!r} has different training "
+            "semantics - use its dedicated trainer with one seed")
     init, apply_fn = get_model(name)
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
@@ -150,6 +244,21 @@ def train_mfm_multiseed(
     params = MultiSeedProgram.vinit(init, cfg, base, n_seeds)
     opt_state = jax.vmap(opt.init)(params)
     program = MultiSeedProgram(apply_fn, cfg, opt)
+
+    schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
+    best = np.full(n_seeds, -np.inf if valid_metric == "accuracy"
+                   else np.inf)
+    best_params = [None] * n_seeds
+    lrs = np.full(n_seeds, lr, np.float32)
+    key = jax.random.fold_in(base, 777)
+    start_epoch = 0
+    if resume_from:
+        (params, opt_state, best_params, best, lrs,
+         start_epoch) = _multiseed_resume(resume_from, params, opt_state,
+                                          n_seeds, schedulers, logger)
+        # re-derive the key chain position (one 3-way split per epoch)
+        for _ in range(start_epoch):
+            key, _, _ = jax.random.split(key, 3)
 
     Xb, yb, _ = make_batches(X_train, ytr, cfg.batchsize, False)
     if mesh is not None:
@@ -185,15 +294,8 @@ def train_mfm_multiseed(
         Xb, yb = jax.device_put(Xb), jax.device_put(yb)
         Xv_d = jax.device_put(Xv)
 
-    schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
-    best = np.full(n_seeds, -np.inf if valid_metric == "accuracy"
-                   else np.inf)
-    best_params = [None] * n_seeds
-    lrs = np.full(n_seeds, lr, np.float32)
-    key = jax.random.fold_in(base, 777)
-
     history = []
-    for epoch_i in range(cfg.num_epochs):
+    for epoch_i in range(start_epoch, cfg.num_epochs):
         key, ek, vk = jax.random.split(key, 3)
         ekeys = jax.random.split(ek, n_seeds)
         params, opt_state, tracked = program.epoch(
@@ -219,6 +321,9 @@ def train_mfm_multiseed(
                       train_loss=np.asarray(tracked).tolist(),
                       valid_loss=valids.tolist())
         history.append({"epoch": epoch_i, "valids": valids.tolist()})
+        if ckpt_dir and ckpt_every and (epoch_i + 1) % ckpt_every == 0:
+            _multiseed_snapshot(ckpt_dir, cfg, params, opt_state,
+                                best_params, best, lrs, schedulers, epoch_i)
 
     # per-seed test scoring with each seed's best params
     predict = program.predict_one
@@ -239,8 +344,12 @@ def train_mfm_multiseed(
         range(n_seeds), key=lambda k: results[k]["metrics"][key_metric])
     logger.record("final", per_seed=[r["metrics"] for r in results],
                   best_seed=pick)
+    # "params"/"step" mirror the single-seed trainers' return so the
+    # CLI's --save-ckpt works on multiseed runs (best seed's params)
     return {"results": results, "best_seed": pick,
-            "best_params": best_params[pick], "history": history}
+            "best_params": best_params[pick], "params": best_params[pick],
+            "best_valid": float(best[pick]), "step": cfg.num_epochs,
+            "history": history}
 
 
 class _Null:

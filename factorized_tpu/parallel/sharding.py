@@ -29,9 +29,56 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Thin multi-host runtime bootstrap: ``jax.distributed.initialize``
+    with explicit args, env-var args, or TPU-metadata auto-detection.
+
+    Precedence per field: explicit argument, then environment
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` — the names jax itself documents), then jax's
+    own auto-detection (on Cloud TPU the coordinator comes from TPU
+    metadata and no field is needed).
+
+    Returns True when initialize() was called, False when it was
+    skipped because the runtime is already initialized. Call BEFORE
+    any backend use; after it, ``jax.devices()`` spans all hosts and
+    ``make_mesh()`` builds global meshes unchanged (docs/scaling.md
+    "Multi-host"). Single-process jobs never need this.
+    """
+    import os
+
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    try:  # tolerate jax-internal layout drift; worst case we re-init
+        already = jax._src.distributed.global_state.client is not None
+    except Exception:  # pragma: no cover
+        already = False
+    if already:
+        return False  # already initialized (re-init would raise)
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axes: Sequence[str] = ("data",),
-              shape: Optional[Sequence[int]] = None) -> Mesh:
+              shape: Optional[Sequence[int]] = None,
+              multihost: bool = False) -> Mesh:
+    if multihost:
+        init_distributed()
     devices = jax.devices()
     n = n_devices or len(devices)
     if n > len(devices):
@@ -99,11 +146,16 @@ def tp_param_shardings(mesh: Mesh, params, rules=None):
     and XLA inserts the all-gathers. ``rules`` is a list of
     (path_substring, axis) pairs; default shards the decoder output
     projections and decoder recurrent weights (the 300-wide text heads).
+
+    A rule that MATCHES a weight whose sharded dim does not divide the
+    'model' axis raises: silently replicating it would leave the user
+    believing they enabled TP while actually running DP.
     """
     if rules is None:
         rules = [("decoder_l/fc1/w", 1), ("decoder_l/lstm/wx", 1),
                  ("decoder_l/lstm/wh", 1)]
     replicated = NamedSharding(mesh, P())
+    n_model = mesh.shape["model"]
 
     def path_str(path):
         return "/".join(str(getattr(k, "key", k)) for k in path)
@@ -112,10 +164,18 @@ def tp_param_shardings(mesh: Mesh, params, rules=None):
         p = path_str(path)
         for sub, axis in rules:
             if sub in p and hasattr(leaf, "ndim") and leaf.ndim == 2:
+                if leaf.shape[axis] % n_model:
+                    raise ValueError(
+                        f"tensor-parallel rule {sub!r} matches weight "
+                        f"{p} with shape {tuple(leaf.shape)}, but dim "
+                        f"{axis} ({leaf.shape[axis]}) does not divide "
+                        f"the mesh 'model' axis ({n_model}) - shard a "
+                        "divisible weight, resize the model, or drop "
+                        "the rule (silently replicating would be DP "
+                        "masquerading as TP)")
                 spec = [None, None]
                 spec[axis] = "model"
-                if leaf.shape[axis] % mesh.shape["model"] == 0:
-                    return NamedSharding(mesh, P(*spec))
+                return NamedSharding(mesh, P(*spec))
         return replicated
 
     shardings = jax.tree_util.tree_map_with_path(assign, params)

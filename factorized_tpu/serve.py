@@ -288,6 +288,11 @@ class MicroBatcher:
         self.requests_served = 0   # vs requests coalesced into them
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # serializes the stop-check+enqueue in submit() against close()
+        # setting _stop: without it a request could pass the check, be
+        # enqueued after close() drained the queue, and block its
+        # caller forever on ev.wait()
+        self._close_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatcher")
         self._thread.start()
@@ -306,13 +311,14 @@ class MicroBatcher:
                 f"expected input shape (n, {t}, {d}), got {x.shape}")
         if x.shape[0] == 0:
             return self.predictor._empty_result()
-        if self._stop.is_set():
-            raise RuntimeError(
-                "MicroBatcher is closed - no worker will serve this "
-                "request")
         box = {}
         ev = threading.Event()
-        self._queue.put((x, box, ev))
+        with self._close_lock:
+            if self._stop.is_set():
+                raise RuntimeError(
+                    "MicroBatcher is closed - no worker will serve this "
+                    "request")
+            self._queue.put((x, box, ev))
         ev.wait()
         if "error" in box:
             raise box["error"]
@@ -356,7 +362,11 @@ class MicroBatcher:
     def close(self):
         import queue
 
-        self._stop.set()
+        with self._close_lock:
+            # after this, submit() raises instead of enqueueing — every
+            # already-enqueued request is either served by the worker or
+            # failed by the drain below
+            self._stop.set()
         self._thread.join(timeout=2)
         # fail any request that raced the shutdown instead of letting
         # its caller block forever on ev.wait()

@@ -1,0 +1,110 @@
+"""Distributed hardening (VERDICT r2 items 6+8): tensor-parallel rules
+must never silently replicate, and the multi-host bootstrap's flag
+plumbing is unit-tested (it cannot be integration-tested on one host).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from factorized_tpu.parallel import init_distributed, make_mesh
+from factorized_tpu.parallel.sharding import tp_param_shardings
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+class TestTpNonDividingRaises:
+    def test_non_dividing_listed_dim_raises(self):
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        params = {"decoder_l": {"fc1": {
+            # output dim 7 does not divide model=2
+            "w": np.zeros((4, 7), np.float32),
+            "b": np.zeros((7,), np.float32),
+        }}}
+        with pytest.raises(ValueError, match="does not divide"):
+            tp_param_shardings(mesh, params)
+
+    def test_dividing_dim_is_sharded(self):
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh(8, axes=("data", "model"), shape=(4, 2))
+        params = {"decoder_l": {"fc1": {
+            "w": np.zeros((4, 8), np.float32),
+            "b": np.zeros((8,), np.float32),
+        }}}
+        out = tp_param_shardings(mesh, params)
+        assert out["decoder_l"]["fc1"]["w"].sharding.spec == P(None, "model")
+        # unlisted leaves stay replicated
+        assert out["decoder_l"]["fc1"]["b"].sharding.spec == P()
+
+
+class TestInitDistributed:
+    def test_env_plumbing(self, monkeypatch):
+        """Explicit args > env vars > auto-detect; the call reaches
+        jax.distributed.initialize with exactly the resolved fields."""
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "envhost:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+
+        assert init_distributed() is True
+        assert calls == [{"coordinator_address": "envhost:1234",
+                          "num_processes": 4, "process_id": 2}]
+
+        calls.clear()
+        assert init_distributed(coordinator_address="arg:9",
+                                num_processes=8, process_id=0) is True
+        assert calls == [{"coordinator_address": "arg:9",
+                          "num_processes": 8, "process_id": 0}]
+
+    def test_autodetect_passes_no_fields(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+        assert init_distributed() is True
+        assert calls == [{}]
+
+    def test_already_initialized_is_noop(self, monkeypatch):
+        class FakeState:
+            client = object()  # non-None -> already initialized
+
+        monkeypatch.setattr(jax._src.distributed, "global_state",
+                            FakeState())
+        called = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: called.append(kw))
+        assert init_distributed() is False
+        assert called == []
+
+    def test_make_mesh_multihost_calls_bootstrap(self, monkeypatch):
+        import factorized_tpu.parallel.sharding as sh
+
+        called = []
+        monkeypatch.setattr(sh, "init_distributed",
+                            lambda: called.append(True))
+        mesh = make_mesh(8, multihost=True)
+        assert called == [True]
+        assert mesh.shape == {"data": 8}
+
+    def test_cli_flag_plumbed(self, monkeypatch, tmp_path):
+        """--multihost triggers init_distributed before training."""
+        import factorized_tpu.parallel as par
+        from factorized_tpu.cli import main
+
+        called = []
+        # the CLI imports the name from the package at call time
+        monkeypatch.setattr(par, "init_distributed",
+                            lambda: called.append(True))
+        # check subcommand exits fast and has no --multihost; use a
+        # dataset run that fails early on a bogus checkpoint instead
+        with pytest.raises((FileNotFoundError, OSError)):
+            main(["mosi", "--mode", "single", "--epochs", "1",
+                  "--multihost", "--resume", str(tmp_path / "nope"),
+                  "--out", str(tmp_path)])
+        assert called == [True]

@@ -103,7 +103,7 @@ class TestEndToEnd:
         assert X_va.shape == (2, 5, 13)
         assert X_te.shape == (2, 5, 13)
         assert y_tr.shape == (4,)
-        assert mmsdk.LAST_INPUT_DIMS == [6, 4, 3]
+        assert out.input_dims == [6, 4, 3]
         # visual block max-abs normalized by TRAIN stats
         vis_tr = X_tr[:, :, 10:]
         assert np.nanmax(np.abs(vis_tr)) <= 1.0 + 1e-6
@@ -138,6 +138,34 @@ class TestEndToEnd:
         # 4 videos -> proportional (2, 1, 1), one segment each
         assert (X_tr.shape[0], X_va.shape[0], X_te.shape[0]) == (2, 1, 1)
 
+    def test_default_split_mosi_sized_uses_52_10(self, tmp_path):
+        root = make_fixture(tmp_path, n_videos=93, segs_per_video=1,
+                            words=2)
+        out = mmsdk.get_data(seqlength=3, data_root=root)
+        X_tr, _, X_va, _, X_te, _ = out
+        # exactly 93 videos -> the reference's absolute 52/10/31
+        assert (X_tr.shape[0], X_va.shape[0], X_te.shape[0]) == (52, 10, 31)
+
+    def test_default_split_large_dataset_is_proportional(self, tmp_path):
+        """A larger-than-MOSI set (e.g. CMU-MOSEI, ~3200 videos) must
+        NOT get MOSI's absolute 52 train videos (which would train on
+        ~2% of the data); the default is proportional."""
+        root = make_fixture(tmp_path, n_videos=80, segs_per_video=1,
+                            words=2)
+        out = mmsdk.get_data(seqlength=3, data_root=root)
+        X_tr, _, X_va, _, X_te, _ = out
+        # 80 * 52/93 = 44, 80 * 10/93 = 8
+        assert (X_tr.shape[0], X_va.shape[0], X_te.shape[0]) == (44, 8, 28)
+
+    def test_multi_root_csd_rejected(self, tmp_path):
+        root = make_fixture(tmp_path)
+        # corrupt the text csd with a second root group
+        with h5py.File(f"{root}/CMU_MOSI_TimestampedWordVectors.csd",
+                       "a") as f:
+            f.create_group("extraneous_root").create_group("data")
+        with pytest.raises(ValueError, match="root groups"):
+            mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+
     def test_missing_file_message(self, tmp_path):
         (tmp_path / "empty").mkdir()
         with pytest.raises(FileNotFoundError, match="data-root"):
@@ -159,10 +187,10 @@ class TestEndToEnd:
         from factorized_tpu.train import TrainProgram, make_optimizer
 
         root = make_fixture(tmp_path)
-        X_tr, y_tr, *_ = mmsdk.get_data(seqlength=5, data_root=root,
-                                        split=(2, 1))
+        data = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        X_tr, y_tr, *_ = data
         cfg = MFMConfig(
-            input_dims=mmsdk.LAST_INPUT_DIMS, seqlength=5, batchsize=2,
+            input_dims=data.input_dims, seqlength=5, batchsize=2,
             h_dims=[4, 4, 4], memsize=4, zy_size=4, zl_size=4, za_size=4,
             zv_size=4, fy_size=4, fl_size=4, fa_size=4, fv_size=4,
             att1_shape=4, att2_shape=4, gamma1_shape=4, gamma2_shape=4,
@@ -250,10 +278,11 @@ class TestMoseiMultitrait:
         from factorized_tpu.cli import _dataset_info, load_dataset
 
         root = make_mosei_fixture(tmp_path)
-        X_tr, y_tr, *_ = load_dataset("mosei_sdk", 5, root)
+        data = load_dataset("mosei_sdk", 5, root)
+        X_tr, y_tr, *_ = data
         assert y_tr.ndim == 1
         assert X_tr.shape[1] == 5
-        assert _dataset_info("mosei_sdk")["input_dims"] == [6, 4, 3]
+        assert _dataset_info("mosei_sdk", data)["input_dims"] == [6, 4, 3]
         segs = mmsdk.load_segments(root, files=mmsdk.MOSEI_FILES,
                                    label_mode="vector")
         scalars = mmsdk.load_segments(root, files=mmsdk.MOSEI_FILES,
@@ -290,6 +319,101 @@ class TestMoseiMultitrait:
         assert glob.glob(f"{out}/*.jsonl")
         res = best_multitrait(str(out), out=lambda *a: None)
         assert len(res.get("mae", [])) == 7
+
+
+def make_pom_fixture(tmp_path, n_videos=5, words=4, n_traits=17):
+    """POM-style quartet: one segment per video, 17 trait columns on
+    the 1..7 annotation scale."""
+    rng = np.random.default_rng(2)
+    text, audio, visual, labels = {}, {}, {}, {}
+    for v in range(n_videos):
+        seg_id = f"pvid{v:02d}[0]"
+        n = words
+        w_iv = np.stack([np.arange(n), np.arange(n) + 1.0], axis=1)
+        text[seg_id] = (rng.normal(size=(n, 6)), w_iv)
+        audio[seg_id] = (rng.normal(size=(2 * n, 4)),
+                         np.stack([np.arange(2 * n) / 2.0,
+                                   np.arange(2 * n) / 2.0 + 0.5], axis=1))
+        visual[seg_id] = (rng.normal(size=(n, 3)), w_iv.copy())
+        labels[seg_id] = (rng.uniform(1.0, 7.0, size=(1, n_traits)),
+                          np.array([[0.0, n * 1.0]]))
+    root = tmp_path / "pom"
+    root.mkdir(exist_ok=True)
+    from factorized_tpu.data.mmsdk import POM_FILES
+
+    write_csd(root / POM_FILES["text"], "glove", text)
+    write_csd(root / POM_FILES["audio"], "COVAREP", audio)
+    write_csd(root / POM_FILES["visual"], "FACET", visual)
+    write_csd(root / POM_FILES["labels"], "POM Labels", labels)
+    return str(root)
+
+
+class TestPomSdk:
+    def test_vector_labels_shape(self, tmp_path):
+        root = make_pom_fixture(tmp_path)
+        out = mmsdk.get_data(seqlength=5, data_root=root,
+                             files=mmsdk.POM_FILES, split=(2, 1),
+                             label_mode="vector")
+        X_tr, y_tr = out[0], out[1]
+        assert X_tr.shape == (2, 5, 6 + 4 + 3)
+        assert y_tr.shape == (2, 17)
+        assert out.input_dims == [6, 4, 3]
+
+    def test_cli_end_to_end_with_check(self, tmp_path):
+        """`multitrait --style pom_sdk` trains from public-format csd
+        fixtures and `check --multitrait --style pom` aggregates the
+        result (the reference's POM report surface, check.py:226-250)."""
+        from factorized_tpu.check import best_multitrait
+        from factorized_tpu.cli import main
+
+        root = make_pom_fixture(tmp_path)
+        cfg = {
+            "seqlength": 5, "h_dims": [4, 4, 4], "memsize": 4,
+            "zy_size": 4, "zl_size": 4, "za_size": 4, "zv_size": 4,
+            "fy_size": 4, "fl_size": 4, "fa_size": 4, "fv_size": 4,
+            "att1_shape": 4, "att2_shape": 4, "gamma1_shape": 4,
+            "gamma2_shape": 4, "batchsize": 2, "num_epochs": 1,
+        }
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out = tmp_path / "runs"
+        rc = main(["multitrait", "--style", "pom_sdk",
+                   "--data-root", root, "--config", str(cfg_path),
+                   "--out", str(out)])
+        assert rc == 0
+        res = best_multitrait(str(out), style="pom", out=lambda *a: None)
+        # the reference's POM report covers 16 of 17 traits (skips
+        # index 14, check.py:241) — parity preserved
+        assert len(res.get("mae", [])) == 16
+
+    def test_trait_names_recorded(self, tmp_path):
+        """The run record documents the 17 POM trait column names so
+        positional metric lists are interpretable."""
+        import glob
+
+        from factorized_tpu.cli import main
+        from factorized_tpu.data.multitrait import POM_TRAITS
+
+        root = make_pom_fixture(tmp_path)
+        cfg = {
+            "seqlength": 5, "h_dims": [4, 4, 4], "memsize": 4,
+            "zy_size": 4, "zl_size": 4, "za_size": 4, "zv_size": 4,
+            "fy_size": 4, "fl_size": 4, "fa_size": 4, "fv_size": 4,
+            "att1_shape": 4, "att2_shape": 4, "gamma1_shape": 4,
+            "gamma2_shape": 4, "batchsize": 2, "num_epochs": 1,
+        }
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out = tmp_path / "runs"
+        main(["multitrait", "--style", "pom_sdk", "--data-root", root,
+              "--config", str(cfg_path), "--out", str(out)])
+        rec = None
+        for path in glob.glob(f"{out}/*.jsonl"):
+            for line in open(path):
+                r = json.loads(line)
+                if r.get("kind") == "config":
+                    rec = r
+        assert rec is not None and rec["traits"] == POM_TRAITS
 
 
 class TestMalformedFiles:
