@@ -227,6 +227,59 @@ def run_bucket_search(args, data, info, rng):
     return 0
 
 
+def run_evolve_search(args, data, info, rng):
+    """Evolving (successive-halving with lane recycling) search: each
+    round draws ONE shape signature, fills ``--trials`` vmapped lanes
+    with value draws on it, and runs ``--evolve`` rungs of
+    train-rank-cull-resample (parallel/multiconfig.py
+    train_evolving_search). ``--trials 0``: new shape every round,
+    forever — the reference's infinite search (``mfm_mosi.py:1302``)
+    with early stopping of bad trials."""
+    from factorized_tpu.parallel.multiconfig import train_evolving_search
+
+    n = args.trials or 16
+    round_i = 0
+    while True:
+        template = sample_search_config(args.dataset, rng,
+                                        model_type=args.type,
+                                        missing=args.missing,
+                                        zeros=args.zeros)
+        if args.dataset in ("mosi_sdk", "mosei_sdk"):
+            template = template.replace(input_dims=info["input_dims"])
+        if args.epochs:
+            template = template.replace(num_epochs=args.epochs)
+        if args.batchsize:
+            template = template.replace(batchsize=args.batchsize)
+        logger = RunLogger(args.out,
+                           run_id=f"{args.dataset}_evolve{round_i}")
+        logger.record("config", evolve_rungs=args.evolve,
+                      cull_frac=args.cull_frac, n_configs=n,
+                      template=template.to_dict())
+        kw = dict(n_configs=n, rungs=args.evolve,
+                  cull_frac=args.cull_frac, rng=rng, logger=logger,
+                  seed=args.seed + round_i,
+                  seeds_per_config=max(args.seeds, 1))
+        if info["task"] == "classification":
+            kw["use_config_lr"] = True
+        else:
+            kw["lr"] = args.lr
+        if args.seed_parallel:
+            kw["mesh"] = _seed_parallel_mesh(n * max(args.seeds, 1))
+        if info["threshold"] is not None:
+            kw.update(binary_threshold=info["threshold"],
+                      threshold_mode=info["mode"])
+        res = train_evolving_search(*data, template, args.dataset, **kw)
+        print(f"evolve round {round_i}: explored "
+              f"{res['explored_configs']} configs over {args.evolve} "
+              f"rungs; best {res['best']['metrics']} "
+              f"(rung {res['best']['rung']})")
+        logger.close()
+        round_i += 1
+        if args.trials:
+            break
+    return 0
+
+
 def run_dataset(args):
     base = (MFMConfig.from_json(args.config) if args.config
             else MFMConfig(seqlength=20))
@@ -234,6 +287,8 @@ def run_dataset(args):
                         split=parse_split(args.split))
     info = _dataset_info(args.dataset, data)
     rng = random.Random(args.seed)
+    if args.mode == "search" and args.evolve:
+        return run_evolve_search(args, data, info, rng)
     if args.mode == "search" and args.bucket:
         return run_bucket_search(args, data, info, rng)
 
@@ -656,6 +711,19 @@ def build_parser():
                              "as ONE vmapped program (per-lane dropout/"
                              "loss-weight/lr traced); x --seeds lanes "
                              "per config")
+        sp.add_argument("--evolve", type=int, default=0, metavar="RUNGS",
+                        help="with --mode search: successive-halving "
+                             "search — one shape signature per round, "
+                             "--trials vmapped value-draw lanes, RUNGS "
+                             "train/rank/cull/resample rungs of --epochs "
+                             "each (culled lanes recycled into fresh "
+                             "trials without recompiling)")
+        sp.add_argument("--cull-frac", type=float, default=0.5,
+                        help="fraction of configs re-drawn per evolve "
+                             "rung (default 0.5)")
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the whole "
+                             "run into DIR (TensorBoard-loadable)")
         sp.add_argument("--seed-parallel", action="store_true",
                         help="with --seeds>1: shard the seed axis over "
                              "all visible devices (linear multi-chip "
@@ -757,6 +825,14 @@ def main(argv=None):
         from factorized_tpu.parallel import init_distributed
 
         init_distributed()
+    if getattr(args, "profile", None):
+        # SURVEY.md §5.1: the reference's only profiling is an ad-hoc
+        # time.time() probe (test_mosi.py:335-342); here the whole run
+        # is wrapped in a jax.profiler trace
+        from factorized_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            return args.func(args)
     return args.func(args)
 
 

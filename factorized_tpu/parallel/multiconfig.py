@@ -24,6 +24,7 @@ keeping, per-lane test scoring.
 
 from __future__ import annotations
 
+import random
 from collections import defaultdict
 from typing import List, Optional, Sequence
 
@@ -31,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from factorized_tpu.config import sample_search_config
 from factorized_tpu.models import get_model
 from factorized_tpu.parallel.multiseed import MULTISEED_TYPES, _Null
 from factorized_tpu.train import (
@@ -165,6 +167,11 @@ def train_config_bucket(
     threshold_mode: str = "ge",
     valid_metric: str = "loss",
     mesh=None,
+    state_in: Optional[dict] = None,
+    return_state: bool = False,
+    key_salt: int = 777,
+    epoch_offset: int = 0,
+    program: Optional["ConfigBucketProgram"] = None,
 ):
     """Train a BUCKET of same-shape configs — K = len(cfgs) *
     seeds_per_config lanes — as one vmapped program.
@@ -180,8 +187,16 @@ def train_config_bucket(
     chip scaling); 2-D ('seed', 'batch') additionally data-parallelizes
     each lane.
 
+    ``state_in`` / ``return_state`` chain rungs of the evolving search
+    (:func:`train_evolving_search`): pass the previous rung's returned
+    ``state`` to continue training the SAME lanes (params, opt_state,
+    per-lane lr + scheduler internals, best-valid records) for another
+    ``num_epochs``. ``key_salt`` varies the per-rung dropout/MMD key
+    stream; ``epoch_offset`` makes logged epoch numbers absolute.
+
     Returns {"results": [per-lane {config_index, seed_index, metrics,
-    best_valid}], "best_lane": int, "best_params": pytree}.
+    best_valid}], "best_lane": int, "best_params": pytree} (+ "state"
+    when ``return_state``).
     """
     logger = logger or RunLogger()
     sigs = {shape_signature(c) for c in cfgs}
@@ -211,17 +226,27 @@ def train_config_bucket(
     init, apply_fn = get_model(name)
     opt = make_optimizer("adam", lr, rep.momentum)
     base = jax.random.PRNGKey(seed)
-    keys = jax.random.split(base, K)
-    params = jax.vmap(lambda k: init(k, rep))(keys)
-    opt_state = jax.vmap(opt.init)(params)
-    program = ConfigBucketProgram(apply_fn, rep, opt)
+    if state_in is None:
+        keys = jax.random.split(base, K)
+        params = jax.vmap(lambda k: init(k, rep))(keys)
+        opt_state = jax.vmap(opt.init)(params)
+    else:
+        params, opt_state = state_in["params"], state_in["opt_state"]
+    # a caller-supplied program (built for the SAME shape signature +
+    # optimizer) skips re-tracing — the evolving search reuses one
+    # compiled program across all rungs
+    program = program or ConfigBucketProgram(apply_fn, rep, opt)
     hps = hp_matrix(cfgs, seeds_per_config)
 
-    if use_config_lr:
-        lane_lr = np.repeat([float(c.lr) for c in cfgs], seeds_per_config)
+    if state_in is None:
+        if use_config_lr:
+            lane_lr = np.repeat([float(c.lr) for c in cfgs],
+                                seeds_per_config)
+        else:
+            lane_lr = np.full(K, 1e-3 if lr is None else lr)
+        lrs = lane_lr.astype(np.float32)
     else:
-        lane_lr = np.full(K, 1e-3 if lr is None else lr)
-    lrs = lane_lr.astype(np.float32)
+        lrs = np.asarray(state_in["lrs"], np.float32).copy()
 
     Xb, yb, _ = make_batches(X_train, ytr, rep.batchsize, False)
     hps_d = jnp.asarray(hps)
@@ -258,10 +283,16 @@ def train_config_bucket(
         Xb, yb = jax.device_put(Xb), jax.device_put(yb)
         Xv_d = jax.device_put(Xv)
 
-    schedulers = [ReduceLROnPlateau(float(v)) for v in lane_lr]
-    best = np.full(K, -np.inf if valid_metric == "accuracy" else np.inf)
-    best_params = [None] * K
-    key = jax.random.fold_in(base, 777)
+    if state_in is None:
+        schedulers = [ReduceLROnPlateau(float(v)) for v in lrs]
+        best = np.full(K,
+                       -np.inf if valid_metric == "accuracy" else np.inf)
+        best_params = [None] * K
+    else:
+        schedulers = state_in["schedulers"]
+        best = np.asarray(state_in["best"]).copy()
+        best_params = list(state_in["best_params"])
+    key = jax.random.fold_in(base, key_salt)
 
     history = []
     for epoch_i in range(rep.num_epochs):
@@ -283,12 +314,13 @@ def train_config_bucket(
                 best[k] = valids[k]
                 best_params[k] = jax.tree.map(
                     lambda a, k=k: np.asarray(a[k]), params)
-        logger.text(epoch_i, np.asarray(tracked).round(4).tolist(),
+        ep = epoch_offset + epoch_i
+        logger.text(ep, np.asarray(tracked).round(4).tolist(),
                     valids.round(4).tolist())
-        logger.record("epoch", epoch=epoch_i,
+        logger.record("epoch", epoch=ep,
                       train_loss=np.asarray(tracked).tolist(),
                       valid_loss=valids.tolist())
-        history.append({"epoch": epoch_i, "valids": valids.tolist()})
+        history.append({"epoch": ep, "valids": valids.tolist()})
 
     results = []
     for k in range(K):
@@ -312,6 +344,164 @@ def train_config_bucket(
     logger.record("final", per_lane=[r["metrics"] for r in results],
                   best_lane=pick,
                   best_config_index=results[pick]["config_index"])
-    return {"results": results, "best_lane": pick,
-            "best_params": best_params[pick],
-            "params": best_params[pick], "history": history}
+    out = {"results": results, "best_lane": pick,
+           "best_params": best_params[pick],
+           "params": best_params[pick], "history": history}
+    if return_state:
+        out["state"] = {"params": params, "opt_state": opt_state,
+                        "lrs": lrs, "schedulers": schedulers,
+                        "best": best, "best_params": best_params}
+    return out
+
+
+# ---- evolving (successive-halving-with-recycling) search ---------------
+
+
+def resample_values(template, dataset: str, rng=None):
+    """A fresh random-search draw of the VALUE fields (dropout rates,
+    loss weights, lr — ``mfm_mosi.py:1311-1344``) grafted onto
+    ``template``'s shape. The result shares ``template``'s
+    :func:`shape_signature`, so it can replace a lane in a running
+    bucket program without recompilation."""
+    draw = sample_search_config(dataset, rng)
+    vals = {f: getattr(draw, f) for f in HP_FIELDS}
+    return template.replace(lr=draw.lr, **vals)
+
+
+def recycle_lanes(state, lane_indices, *, cfg, init, opt, lrs_new,
+                  seed: int, valid_metric: str = "loss"):
+    """Reset the given lanes of a bucket ``state`` to freshly
+    initialized trials IN PLACE: new params (independent PRNG per
+    lane), fresh opt_state, new lr + scheduler, cleared best-valid
+    record. Surviving lanes' arrays are untouched (vmapped lanes are
+    arithmetically independent, so their continued trajectories are
+    identical to an un-culled run — tests/test_evolve.py)."""
+    base = jax.random.PRNGKey(seed)
+    for j, k in enumerate(lane_indices):
+        fresh = init(jax.random.fold_in(base, k), cfg)
+        state["params"] = jax.tree.map(
+            lambda a, f: a.at[k].set(f), state["params"], fresh)
+        state["opt_state"] = jax.tree.map(
+            lambda a, f: a.at[k].set(f), state["opt_state"],
+            opt.init(fresh))
+        new_lr = float(lrs_new[j])
+        state["lrs"][k] = new_lr
+        state["schedulers"][k] = ReduceLROnPlateau(new_lr)
+        state["best"][k] = (-np.inf if valid_metric == "accuracy"
+                            else np.inf)
+        state["best_params"][k] = None
+    return state
+
+
+def train_evolving_search(
+    X_train, y_train, X_valid, y_valid, X_test, y_test, template,
+    dataset: str, *,
+    n_configs: int = 8,
+    rungs: int = 4,
+    cull_frac: float = 0.5,
+    seeds_per_config: int = 1,
+    rng=None,
+    lr: Optional[float] = None,
+    use_config_lr: bool = False,
+    logger: Optional[RunLogger] = None,
+    seed: int = 123,
+    binary_threshold: float = 0.0,
+    threshold_mode: str = "ge",
+    valid_metric: str = "loss",
+    mesh=None,
+    program: Optional["ConfigBucketProgram"] = None,
+):
+    """Successive-halving search over the VALUE subspace of one shape
+    bucket, with culled lanes RECYCLED into fresh trials.
+
+    The reference explores hyperparameters by unbounded random search,
+    one full training run per draw (``mfm_mosi.py:1302-1369``). The
+    TPU-shaped version: fix a shape signature (one compiled program),
+    fill K = n_configs x seeds_per_config vmapped lanes with value
+    draws, and every ``template.num_epochs``-epoch rung (a) rank
+    configs by best validation metric, (b) keep the survivors training,
+    (c) re-initialize the worst ``cull_frac`` of lanes with NEW value
+    draws — possible without recompilation because every searched value
+    field is traced (:data:`HP_FIELDS` + lr). Lanes therefore never
+    idle: the program stays K-wide while bad trials die early, which is
+    the whole point of ASHA-style halving on a SIMD machine.
+
+    Returns {"best": overall-best lane record (test metrics + config
+    + rung), "rungs": per-rung summaries, "explored_configs": total
+    distinct trials, "params": best params}.
+    """
+    logger = logger or RunLogger()
+    rng = rng or random.Random(seed)
+    rep = template
+    cfgs = [template] + [resample_values(template, dataset, rng)
+                         for _ in range(n_configs - 1)]
+    name = rep.model_type if rep.model_type in MULTISEED_TYPES else "mfm"
+    init, apply_fn = get_model(name)
+    opt = make_optimizer("adam", lr, rep.momentum)
+    # ONE compiled program for all rungs: value swaps never recompile
+    program = program or ConfigBucketProgram(apply_fn, rep, opt)
+    key_metric = "accuracy" if rep.task == "classification" else "mae"
+    better = ((lambda a, b: a > b) if key_metric == "accuracy"
+              else (lambda a, b: a < b))
+
+    data = (X_train, y_train, X_valid, y_valid, X_test, y_test)
+    state = None
+    explored = n_configs
+    overall = None
+    rung_logs = []
+    for rung in range(rungs):
+        out = train_config_bucket(
+            *data, list(cfgs), seeds_per_config=seeds_per_config, lr=lr,
+            use_config_lr=use_config_lr, logger=logger, seed=seed,
+            binary_threshold=binary_threshold,
+            threshold_mode=threshold_mode, valid_metric=valid_metric,
+            mesh=mesh, state_in=state, return_state=True,
+            key_salt=777 + rung, epoch_offset=rung * rep.num_epochs,
+            program=program)
+        state = out["state"]
+        cfg_snapshot = [c.to_dict() for c in cfgs]
+
+        cand = out["results"][out["best_lane"]]
+        if overall is None or better(cand["metrics"][key_metric],
+                                     overall["metrics"][key_metric]):
+            overall = {"metrics": cand["metrics"],
+                       "best_valid": cand["best_valid"],
+                       "config": cfg_snapshot[cand["config_index"]],
+                       "rung": rung, "params": out["best_params"]}
+
+        bv = np.asarray([r["best_valid"] for r in out["results"]])
+        per_cfg = bv.reshape(n_configs, seeds_per_config)
+        scores = (per_cfg.max(1) if valid_metric == "accuracy"
+                  else per_cfg.min(1))
+        entry = {"rung": rung, "scores": scores.tolist(),
+                 "culled": [], "configs": cfg_snapshot}
+        if rung < rungs - 1:
+            n_cull = int(cull_frac * n_configs)
+            if n_cull:
+                order = np.argsort(scores)
+                culled = (order[:n_cull] if valid_metric == "accuracy"
+                          else order[-n_cull:])
+                entry["culled"] = [int(c) for c in culled]
+                lanes, lrs_new = [], []
+                for ci in culled:
+                    new_cfg = resample_values(template, dataset, rng)
+                    cfgs[ci] = new_cfg
+                    explored += 1
+                    for s in range(seeds_per_config):
+                        lanes.append(int(ci) * seeds_per_config + s)
+                        lrs_new.append(
+                            float(new_cfg.lr) if use_config_lr
+                            else (1e-3 if lr is None else lr))
+                recycle_lanes(state, lanes, cfg=rep, init=init, opt=opt,
+                              lrs_new=lrs_new,
+                              seed=seed + 1000 * (rung + 1),
+                              valid_metric=valid_metric)
+        rung_logs.append(entry)
+        logger.record("rung", **{k: v for k, v in entry.items()
+                                 if k != "configs"})
+
+    logger.record("evolve_final", explored_configs=explored,
+                  best_rung=overall["rung"], best_metrics=overall["metrics"],
+                  best_config=overall["config"])
+    return {"best": overall, "rungs": rung_logs,
+            "explored_configs": explored, "params": overall["params"]}
