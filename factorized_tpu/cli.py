@@ -259,6 +259,13 @@ def run_evolve_search(args, data, info, rng):
                   cull_frac=args.cull_frac, rng=rng, logger=logger,
                   seed=args.seed + round_i,
                   seeds_per_config=max(args.seeds, 1))
+        if args.ckpt_every:
+            # rung-boundary granularity: the evolve state is only
+            # consistent between rungs (culled lanes swap configs there)
+            kw["ckpt_dir"] = (f"{args.out}/ckpt_auto_"
+                              f"{args.dataset}_evolve{round_i}")
+        if args.resume and round_i == 0:
+            kw["resume_from"] = args.resume
         if info["task"] == "classification":
             kw["use_config_lr"] = True
         else:

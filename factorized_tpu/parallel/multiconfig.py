@@ -393,6 +393,109 @@ def recycle_lanes(state, lane_indices, *, cfg, init, opt, lrs_new,
     return state
 
 
+def _rng_to_json(st):
+    """``random.Random.getstate()`` -> JSON-able dict (and back via
+    :func:`_rng_from_json`) so a resumed search draws the SAME future
+    value samples as the uninterrupted run."""
+    version, internal, gauss = st
+    return {"version": version, "internal": list(internal), "gauss": gauss}
+
+
+def _rng_from_json(d):
+    return (d["version"], tuple(d["internal"]), d["gauss"])
+
+
+def _evolve_snapshot(path, template, state, cfgs, rung_next, rng,
+                     explored, overall, rung_logs, logger):
+    """Persist the FULL evolving-search state at a rung boundary: live
+    + per-lane-best + overall-best params, opt_state, per-lane configs
+    / lr / scheduler internals / best-valid, the value-draw RNG state,
+    and the search bookkeeping — so a killed search resumes at the next
+    rung exactly (the reference's search has no resume at all,
+    ``mfm_mosi.py:1302-1369``)."""
+    from factorized_tpu.parallel.multiseed import _stack_best
+    from factorized_tpu.utils.checkpoint import save_checkpoint
+
+    tree = {"live": jax.tree.map(np.asarray, state["params"]),
+            "best": _stack_best(state["best_params"], state["params"]),
+            "overall": jax.tree.map(np.asarray, overall["params"])}
+    meta = template.to_dict()
+    meta["_ev"] = {
+        "rung_next": rung_next,
+        "explored": explored,
+        "cfgs": [c.to_dict() for c in cfgs],
+        "lrs": [float(v) for v in state["lrs"]],
+        "best_valid": [float(b) for b in state["best"]],
+        "has_best": [bp is not None for bp in state["best_params"]],
+        "sched": [{"lr": s.lr, "best": s.best, "bad": s.num_bad_epochs,
+                   "cooldown": s.cooldown_counter}
+                  for s in state["schedulers"]],
+        "rng": _rng_to_json(rng.getstate()),
+        "overall": {k: overall[k]
+                    for k in ("metrics", "best_valid", "config", "rung")},
+        "rung_logs": rung_logs,
+    }
+    save_checkpoint(path, tree,
+                    opt_state=jax.tree.map(np.asarray, state["opt_state"]),
+                    step=rung_next, config=meta)
+    logger.text(f"evolve snapshot -> {path} (next rung {rung_next})")
+
+
+def _evolve_resume(resume_from, template, rng, params0, opt_state0,
+                   K, valid_metric, logger):
+    """Restore an :func:`_evolve_snapshot`. Returns (state, cfgs,
+    start_rung, explored, overall, rung_logs); mutates ``rng``."""
+    from factorized_tpu.config import MFMConfig
+    from factorized_tpu.utils.checkpoint import restore_checkpoint
+
+    host = jax.tree.map(np.asarray, params0)
+    one = jax.tree.map(lambda a: a[0], host)
+    target = {"params": {"live": host, "best": host, "overall": one},
+              "opt_state": jax.tree.map(np.asarray, opt_state0)}
+    st, meta = restore_checkpoint(resume_from, target=target)
+    ev = meta.get("config", {}).get("_ev")
+    if ev is None:
+        raise ValueError(
+            f"checkpoint at {resume_from} is not an evolving-search "
+            "snapshot (no _ev metadata); --resume on --evolve needs a "
+            "snapshot written by a previous --evolve run")
+    if len(ev["lrs"]) != K:
+        raise ValueError(
+            f"checkpoint at {resume_from} holds {len(ev['lrs'])} lanes "
+            f"but this run has {K} (--trials x --seeds); they must match")
+    cfgs = [MFMConfig(**d) for d in ev["cfgs"]]
+    if shape_signature(cfgs[0]) != shape_signature(template):
+        raise ValueError(
+            f"checkpoint at {resume_from} was taken at a different "
+            "shape signature than this run's template; resume with the "
+            "same --seed/--config so the template matches")
+    best_stack = st["params"]["best"]
+    best_params = [
+        jax.tree.map(lambda a, k=k: np.asarray(a[k]), best_stack)
+        if has else None
+        for k, has in enumerate(ev["has_best"])]
+    schedulers = []
+    for sd in ev["sched"]:
+        s = ReduceLROnPlateau(sd["lr"])
+        s.lr, s.best = sd["lr"], sd["best"]
+        s.num_bad_epochs = sd["bad"]
+        s.cooldown_counter = sd["cooldown"]
+        schedulers.append(s)
+    state = {"params": st["params"]["live"],
+             "opt_state": st["opt_state"],
+             "lrs": np.asarray(ev["lrs"], np.float32),
+             "schedulers": schedulers,
+             "best": np.asarray(ev["best_valid"], np.float64),
+             "best_params": best_params}
+    rng.setstate(_rng_from_json(ev["rng"]))
+    overall = dict(ev["overall"])
+    overall["params"] = st["params"]["overall"]
+    logger.text(f"resumed evolving search from {resume_from} at rung "
+                f"{ev['rung_next']} (explored {ev['explored']} configs)")
+    return (state, cfgs, int(ev["rung_next"]), int(ev["explored"]),
+            overall, list(ev["rung_logs"]))
+
+
 def train_evolving_search(
     X_train, y_train, X_valid, y_valid, X_test, y_test, template,
     dataset: str, *,
@@ -410,6 +513,8 @@ def train_evolving_search(
     valid_metric: str = "loss",
     mesh=None,
     program: Optional["ConfigBucketProgram"] = None,
+    ckpt_dir: Optional[str] = None,
+    resume_from: Optional[str] = None,
 ):
     """Successive-halving search over the VALUE subspace of one shape
     bucket, with culled lanes RECYCLED into fresh trials.
@@ -425,6 +530,13 @@ def train_evolving_search(
     field is traced (:data:`HP_FIELDS` + lr). Lanes therefore never
     idle: the program stays K-wide while bad trials die early, which is
     the whole point of ASHA-style halving on a SIMD machine.
+
+    ``ckpt_dir``: snapshot the FULL search state at every rung boundary
+    (:func:`_evolve_snapshot`); ``resume_from``: restore one and
+    continue — the resumed run reproduces the uninterrupted run exactly
+    (tests/test_evolve.py), because every rung's key stream
+    (``key_salt``), recycle PRNG and value draws (restored RNG state)
+    are rung-deterministic.
 
     Returns {"best": overall-best lane record (test metrics + config
     + rung), "rungs": per-rung summaries, "explored_configs": total
@@ -445,11 +557,25 @@ def train_evolving_search(
               else (lambda a, b: a < b))
 
     data = (X_train, y_train, X_valid, y_valid, X_test, y_test)
+    K = n_configs * seeds_per_config
     state = None
+    start_rung = 0
     explored = n_configs
     overall = None
     rung_logs = []
-    for rung in range(rungs):
+    if resume_from:
+        keys = jax.random.split(jax.random.PRNGKey(seed), K)
+        params0 = jax.vmap(lambda k: init(k, rep))(keys)
+        (state, cfgs, start_rung, explored, overall,
+         rung_logs) = _evolve_resume(resume_from, rep, rng, params0,
+                                     jax.vmap(opt.init)(params0), K,
+                                     valid_metric, logger)
+        if start_rung >= rungs:
+            raise ValueError(
+                f"checkpoint at {resume_from} already completed "
+                f"{start_rung} rungs; this run asks for {rungs} — "
+                "raise --evolve to continue the search")
+    for rung in range(start_rung, rungs):
         out = train_config_bucket(
             *data, list(cfgs), seeds_per_config=seeds_per_config, lr=lr,
             use_config_lr=use_config_lr, logger=logger, seed=seed,
@@ -499,6 +625,9 @@ def train_evolving_search(
         rung_logs.append(entry)
         logger.record("rung", **{k: v for k, v in entry.items()
                                  if k != "configs"})
+        if ckpt_dir and rung < rungs - 1:
+            _evolve_snapshot(ckpt_dir, rep, state, cfgs, rung + 1, rng,
+                             explored, overall, rung_logs, logger)
 
     logger.record("evolve_final", explored_configs=explored,
                   best_rung=overall["rung"], best_metrics=overall["metrics"],

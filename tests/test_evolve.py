@@ -224,6 +224,115 @@ class TestEvolvingSearch:
         assert kw["cull_frac"] == 0.5
 
 
+class TestEvolveResume:
+    def test_kill_at_rung_resume_reproduces(self, program, tmp_path,
+                                            monkeypatch):
+        """Crash during rung 2 of 3, resume from the rung-boundary
+        snapshot: the resumed run must reproduce the uninterrupted run
+        exactly (params bitwise, metrics, explored count, rng draws)."""
+        import random
+
+        import factorized_tpu.parallel.multiconfig as mc
+
+        data = _data()
+        kw = dict(n_configs=4, rungs=3, cull_frac=0.5,
+                  seeds_per_config=1, seed=21, program=program)
+        ra = train_evolving_search(*data, CFG, "mosi",
+                                   logger=RunLogger(echo=False),
+                                   rng=random.Random(21), **kw)
+
+        ck = str(tmp_path / "ev_ck")
+        orig = mc.train_config_bucket
+        calls = {"n": 0}
+
+        def dying(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("simulated crash in rung 2")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(mc, "train_config_bucket", dying)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            train_evolving_search(*data, CFG, "mosi",
+                                  logger=RunLogger(echo=False),
+                                  rng=random.Random(21), ckpt_dir=ck,
+                                  **kw)
+        monkeypatch.setattr(mc, "train_config_bucket", orig)
+
+        # resume with a DIFFERENT rng seed: the checkpointed rng state
+        # must win, so future value draws match the uninterrupted run
+        rb = train_evolving_search(*data, CFG, "mosi",
+                                   logger=RunLogger(echo=False),
+                                   rng=random.Random(999),
+                                   resume_from=ck, **kw)
+
+        assert rb["explored_configs"] == ra["explored_configs"] == 8
+        assert len(rb["rungs"]) == 3
+        assert rb["rungs"][-1]["scores"] == ra["rungs"][-1]["scores"]
+        assert rb["best"]["config"] == ra["best"]["config"]
+        for m, v in ra["best"]["metrics"].items():
+            assert rb["best"]["metrics"][m] == pytest.approx(v, abs=0)
+        for a, b in zip(jax_leaves(ra["params"]),
+                        jax_leaves(rb["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_rejects_wrong_lane_count(self, program, tmp_path,
+                                             monkeypatch):
+        import random
+
+        import factorized_tpu.parallel.multiconfig as mc
+
+        data = _data()
+        ck = str(tmp_path / "ev_ck2")
+        orig = mc.train_config_bucket
+        calls = {"n": 0}
+
+        def dying(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("crash")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(mc, "train_config_bucket", dying)
+        with pytest.raises(RuntimeError):
+            train_evolving_search(*data, CFG, "mosi", n_configs=4,
+                                  rungs=2, seeds_per_config=1, seed=3,
+                                  logger=RunLogger(echo=False),
+                                  rng=random.Random(3), ckpt_dir=ck,
+                                  program=program)
+        monkeypatch.setattr(mc, "train_config_bucket", orig)
+        with pytest.raises(ValueError, match="lanes"):
+            train_evolving_search(*data, CFG, "mosi", n_configs=2,
+                                  rungs=2, seeds_per_config=1, seed=3,
+                                  logger=RunLogger(echo=False),
+                                  resume_from=ck)
+
+    def test_cli_evolve_ckpt_resume_plumbing(self, monkeypatch, tmp_path):
+        import factorized_tpu.parallel.multiconfig as mc
+        from factorized_tpu.cli import main
+
+        calls = []
+
+        def fake(*data_and_template, **kw):
+            calls.append(kw)
+            return {"best": {"metrics": {"mae": 1.0}, "rung": 0,
+                             "config": {}, "best_valid": 1.0,
+                             "params": None},
+                    "rungs": [], "explored_configs": kw["n_configs"],
+                    "params": None}
+
+        monkeypatch.setattr(mc, "train_evolving_search", fake)
+        rc = main(["mosi", "--mode", "search", "--evolve", "2",
+                   "--trials", "4", "--epochs", "1",
+                   "--ckpt-every", "1", "--resume", "/tmp/some_ck",
+                   "--out", str(tmp_path)])
+        assert rc == 0
+        kw = calls[0]
+        assert kw["ckpt_dir"].startswith(str(tmp_path))
+        assert "evolve0" in kw["ckpt_dir"]
+        assert kw["resume_from"] == "/tmp/some_ck"
+
+
 def jax_leaves(tree):
     import jax
 
