@@ -102,9 +102,17 @@ def hp_matrix(cfgs: Sequence, seeds_per_config: int) -> np.ndarray:
 
 class ConfigBucketProgram:
     """Compiled K-lane epoch/eval/predict programs where each lane
-    carries its own (dropout rates, loss weights) vector."""
+    carries its own (dropout rates, loss weights) vector.
 
-    def __init__(self, apply_fn, rep_cfg, optimizer):
+    All per-lane bookkeeping stays ON DEVICE: ``select`` keeps the
+    stacked best-params tree updated with one masked-where dispatch per
+    epoch (vs K per-lane host pulls — measured 58s/rung of pure
+    dispatch latency through the TPU tunnel before this, see
+    scripts/evolve_probe.py), and ``recycle`` re-initializes culled
+    lanes (fresh params + opt_state scattered into the stacked state)
+    as ONE compiled call."""
+
+    def __init__(self, apply_fn, rep_cfg, optimizer, init_fn=None):
         self.rep_cfg = rep_cfg
         eval_fn = make_eval_fn(apply_fn, rep_cfg, "joint")
 
@@ -154,6 +162,33 @@ class ConfigBucketProgram:
 
         self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
         self.evaluate = jax.jit(jax.vmap(eval_fn, in_axes=(0, None, None, 0)))
+
+        def select(mask, new, old):
+            # per-lane masked where over stacked (K, ...) trees
+            def sel(n, o):
+                m = mask.reshape((mask.shape[0],) + (1,) * (n.ndim - 1))
+                return jnp.where(m, n, o)
+
+            return jax.tree.map(sel, new, old)
+
+        self.select = jax.jit(select)
+
+        if init_fn is not None:
+            def recycle(params, opt_state, lanes, base):
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(base, i))(lanes)
+                fresh = jax.vmap(lambda k: init_fn(k, rep_cfg))(keys)
+                fresh_opt = jax.vmap(optimizer.init)(fresh)
+
+                def set_(a, f):
+                    return a.at[lanes].set(f)
+
+                return (jax.tree.map(set_, params, fresh),
+                        jax.tree.map(set_, opt_state, fresh_opt))
+
+            self.recycle = jax.jit(recycle, donate_argnums=(0, 1))
+        else:
+            self.recycle = None
 
 
 def train_config_bucket(
@@ -287,11 +322,17 @@ def train_config_bucket(
         schedulers = [ReduceLROnPlateau(float(v)) for v in lrs]
         best = np.full(K,
                        -np.inf if valid_metric == "accuracy" else np.inf)
-        best_params = [None] * K
+        # stacked on-device per-lane best-params tree, gated by has_best
+        # (content of a lane is meaningless until its mask bit is set)
+        best_stack = jax.tree.map(jnp.zeros_like, params)
+        has_best = np.zeros(K, bool)
     else:
         schedulers = state_in["schedulers"]
         best = np.asarray(state_in["best"]).copy()
-        best_params = list(state_in["best_params"])
+        best_stack = state_in["best_stack"]
+        has_best = np.asarray(state_in["has_best"]).copy()
+        if mesh is not None:
+            best_stack = jax.device_put(best_stack, lane_sh)
     key = jax.random.fold_in(base, key_salt)
 
     history = []
@@ -310,10 +351,13 @@ def train_config_bucket(
                   else (valids <= best))
         for k in range(K):
             lrs[k] = schedulers[k].step(float(valids[k]))
-            if better[k]:
-                best[k] = valids[k]
-                best_params[k] = jax.tree.map(
-                    lambda a, k=k: np.asarray(a[k]), params)
+        if better.any():
+            # ONE masked-select dispatch keeps the stacked best tree
+            # current — no per-lane device->host pulls in the loop
+            best_stack = program.select(jnp.asarray(better), params,
+                                        best_stack)
+            best = np.where(better, valids.astype(best.dtype), best)
+            has_best |= better
         ep = epoch_offset + epoch_i
         logger.text(ep, np.asarray(tracked).round(4).tolist(),
                     valids.round(4).tolist())
@@ -322,15 +366,16 @@ def train_config_bucket(
                       valid_loss=valids.tolist())
         history.append({"epoch": ep, "valids": valids.tolist()})
 
+    # lanes that never recorded a best (possible only with 0 epochs or
+    # right after a recycle) fall back to their live params
+    eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
+    preds = np.asarray(program.predict(eval_stack, Xte))
     results = []
     for k in range(K):
-        p_k = best_params[k] if best_params[k] is not None else jax.tree.map(
-            lambda a, k=k: np.asarray(a[k]), params)
-        y_hat = np.asarray(program.predict_one(p_k, Xte))
         if rep.task == "classification":
-            m = score_classification(y_hat, yte, out=_Null())
+            m = score_classification(preds[k], yte, out=_Null())
         else:
-            m = score_regression(y_hat, yte, binary_threshold,
+            m = score_regression(preds[k], yte, binary_threshold,
                                  threshold_mode, out=_Null())
         results.append({
             "config_index": k // seeds_per_config,
@@ -344,13 +389,15 @@ def train_config_bucket(
     logger.record("final", per_lane=[r["metrics"] for r in results],
                   best_lane=pick,
                   best_config_index=results[pick]["config_index"])
+    pick_tree = jax.tree.map(lambda a: np.asarray(a[pick]), eval_stack)
     out = {"results": results, "best_lane": pick,
-           "best_params": best_params[pick],
-           "params": best_params[pick], "history": history}
+           "best_params": pick_tree,
+           "params": pick_tree, "history": history}
     if return_state:
         out["state"] = {"params": params, "opt_state": opt_state,
                         "lrs": lrs, "schedulers": schedulers,
-                        "best": best, "best_params": best_params}
+                        "best": best, "best_stack": best_stack,
+                        "has_best": has_best}
     return out
 
 
@@ -369,27 +416,40 @@ def resample_values(template, dataset: str, rng=None):
 
 
 def recycle_lanes(state, lane_indices, *, cfg, init, opt, lrs_new,
-                  seed: int, valid_metric: str = "loss"):
+                  seed: int, valid_metric: str = "loss", program=None):
     """Reset the given lanes of a bucket ``state`` to freshly
     initialized trials IN PLACE: new params (independent PRNG per
     lane), fresh opt_state, new lr + scheduler, cleared best-valid
     record. Surviving lanes' arrays are untouched (vmapped lanes are
     arithmetically independent, so their continued trajectories are
-    identical to an un-culled run — tests/test_evolve.py)."""
+    identical to an un-culled run — tests/test_evolve.py).
+
+    With ``program`` (a :class:`ConfigBucketProgram` built with
+    ``init_fn``) the device update is ONE compiled dispatch; the
+    fallback path issues one scatter per pytree leaf. Both derive lane
+    k's init key as ``fold_in(PRNGKey(seed), k)``, so they produce
+    identical lanes."""
     base = jax.random.PRNGKey(seed)
-    for j, k in enumerate(lane_indices):
-        fresh = init(jax.random.fold_in(base, k), cfg)
+    lanes = jnp.asarray(np.asarray(lane_indices, np.int32))
+    if program is not None and program.recycle is not None:
+        state["params"], state["opt_state"] = program.recycle(
+            state["params"], state["opt_state"], lanes, base)
+    else:
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(lanes)
+        fresh = jax.vmap(lambda k: init(k, cfg))(keys)
+        fresh_opt = jax.vmap(opt.init)(fresh)
         state["params"] = jax.tree.map(
-            lambda a, f: a.at[k].set(f), state["params"], fresh)
+            lambda a, f: a.at[lanes].set(f), state["params"], fresh)
         state["opt_state"] = jax.tree.map(
-            lambda a, f: a.at[k].set(f), state["opt_state"],
-            opt.init(fresh))
+            lambda a, f: a.at[lanes].set(f), state["opt_state"],
+            fresh_opt)
+    for j, k in enumerate(lane_indices):
         new_lr = float(lrs_new[j])
         state["lrs"][k] = new_lr
         state["schedulers"][k] = ReduceLROnPlateau(new_lr)
         state["best"][k] = (-np.inf if valid_metric == "accuracy"
                             else np.inf)
-        state["best_params"][k] = None
+        state["has_best"][k] = False
     return state
 
 
@@ -413,11 +473,10 @@ def _evolve_snapshot(path, template, state, cfgs, rung_next, rng,
     and the search bookkeeping — so a killed search resumes at the next
     rung exactly (the reference's search has no resume at all,
     ``mfm_mosi.py:1302-1369``)."""
-    from factorized_tpu.parallel.multiseed import _stack_best
     from factorized_tpu.utils.checkpoint import save_checkpoint
 
     tree = {"live": jax.tree.map(np.asarray, state["params"]),
-            "best": _stack_best(state["best_params"], state["params"]),
+            "best": jax.tree.map(np.asarray, state["best_stack"]),
             "overall": jax.tree.map(np.asarray, overall["params"])}
     meta = template.to_dict()
     meta["_ev"] = {
@@ -426,7 +485,7 @@ def _evolve_snapshot(path, template, state, cfgs, rung_next, rng,
         "cfgs": [c.to_dict() for c in cfgs],
         "lrs": [float(v) for v in state["lrs"]],
         "best_valid": [float(b) for b in state["best"]],
-        "has_best": [bp is not None for bp in state["best_params"]],
+        "has_best": [bool(b) for b in state["has_best"]],
         "sched": [{"lr": s.lr, "best": s.best, "bad": s.num_bad_epochs,
                    "cooldown": s.cooldown_counter}
                   for s in state["schedulers"]],
@@ -469,11 +528,6 @@ def _evolve_resume(resume_from, template, rng, params0, opt_state0,
             f"checkpoint at {resume_from} was taken at a different "
             "shape signature than this run's template; resume with the "
             "same --seed/--config so the template matches")
-    best_stack = st["params"]["best"]
-    best_params = [
-        jax.tree.map(lambda a, k=k: np.asarray(a[k]), best_stack)
-        if has else None
-        for k, has in enumerate(ev["has_best"])]
     schedulers = []
     for sd in ev["sched"]:
         s = ReduceLROnPlateau(sd["lr"])
@@ -486,7 +540,8 @@ def _evolve_resume(resume_from, template, rng, params0, opt_state0,
              "lrs": np.asarray(ev["lrs"], np.float32),
              "schedulers": schedulers,
              "best": np.asarray(ev["best_valid"], np.float64),
-             "best_params": best_params}
+             "best_stack": st["params"]["best"],
+             "has_best": np.asarray(ev["has_best"], bool)}
     rng.setstate(_rng_from_json(ev["rng"]))
     overall = dict(ev["overall"])
     overall["params"] = st["params"]["overall"]
@@ -551,7 +606,8 @@ def train_evolving_search(
     init, apply_fn = get_model(name)
     opt = make_optimizer("adam", lr, rep.momentum)
     # ONE compiled program for all rungs: value swaps never recompile
-    program = program or ConfigBucketProgram(apply_fn, rep, opt)
+    program = program or ConfigBucketProgram(apply_fn, rep, opt,
+                                             init_fn=init)
     key_metric = "accuracy" if rep.task == "classification" else "mae"
     better = ((lambda a, b: a > b) if key_metric == "accuracy"
               else (lambda a, b: a < b))
@@ -621,7 +677,8 @@ def train_evolving_search(
                 recycle_lanes(state, lanes, cfg=rep, init=init, opt=opt,
                               lrs_new=lrs_new,
                               seed=seed + 1000 * (rung + 1),
-                              valid_metric=valid_metric)
+                              valid_metric=valid_metric,
+                              program=program)
         rung_logs.append(entry)
         logger.record("rung", **{k: v for k, v in entry.items()
                                  if k != "configs"})

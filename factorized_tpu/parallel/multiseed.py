@@ -89,6 +89,20 @@ class MultiSeedProgram:
             jax.vmap(eval_fn, in_axes=(0, None, None, 0))
         )
 
+        def select(mask, new, old):
+            # per-seed masked where over stacked (K, ...) trees — keeps
+            # the best-params record ON DEVICE (one dispatch per epoch
+            # instead of per-seed host pulls; the pulls were measured at
+            # tens of seconds of pure dispatch latency through the TPU
+            # tunnel, scripts/evolve_probe.py)
+            def sel(n, o):
+                m = mask.reshape((mask.shape[0],) + (1,) * (n.ndim - 1))
+                return jnp.where(m, n, o)
+
+            return jax.tree.map(sel, new, old)
+
+        self.select = jax.jit(select)
+
     @staticmethod
     def vinit(init, cfg, base_key, n_seeds):
         keys = jax.random.split(base_key, n_seeds)
@@ -104,24 +118,15 @@ class MultiSeedProgram:
 MULTISEED_TYPES = ("mfm", "kl", "m_a", "m_b", "m_c", "m_d")
 
 
-def _stack_best(best_params, params):
-    """Per-seed best trees -> one (K, ...) stacked host tree; seeds
-    with no best yet (possible only before the first eval) fall back to
-    their live slice."""
-    live = jax.tree.map(np.asarray, params)
-    trees = [
-        bp if bp is not None else jax.tree.map(lambda a, k=k: a[k], live)
-        for k, bp in enumerate(best_params)
-    ]
-    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
-
-
-def _multiseed_snapshot(path, cfg, params, opt_state, best_params, best,
-                        lrs, schedulers, epoch):
+def _multiseed_snapshot(path, cfg, params, opt_state, best_stack, has_best,
+                        best, lrs, schedulers, epoch, select):
     """Persist the FULL K-seed training state (live + per-seed-best
     params, opt_state, best-valid, lr and scheduler internals) so a
     killed search resumes exactly — the reference's closest analogue is
-    best-valid checkpointing without resume (``mfm_mosi.py:473-477``)."""
+    best-valid checkpointing without resume (``mfm_mosi.py:473-477``).
+
+    Seeds with no best yet store their live slice (same on-disk format
+    as before the device-resident best tree; old checkpoints restore)."""
     from factorized_tpu.utils.checkpoint import save_checkpoint
 
     meta = cfg.to_dict()
@@ -133,8 +138,9 @@ def _multiseed_snapshot(path, cfg, params, opt_state, best_params, best,
          "cooldown": s.cooldown_counter}
         for s in schedulers
     ]
+    best_out = select(jnp.asarray(has_best), best_stack, params)
     state = {"live": jax.tree.map(np.asarray, params),
-             "best": _stack_best(best_params, params)}
+             "best": jax.tree.map(np.asarray, best_out)}
     save_checkpoint(path, state, opt_state=jax.tree.map(np.asarray, opt_state),
                     step=epoch + 1, config=meta)
 
@@ -142,7 +148,7 @@ def _multiseed_snapshot(path, cfg, params, opt_state, best_params, best,
 def _multiseed_resume(resume_from, params, opt_state, n_seeds, schedulers,
                       logger):
     """Restore a _multiseed_snapshot. Returns (params, opt_state,
-    best_params, best, lrs, start_epoch); mutates ``schedulers``."""
+    best_stack, best, lrs, start_epoch); mutates ``schedulers``."""
     from factorized_tpu.utils.checkpoint import restore_checkpoint
 
     host = jax.tree.map(np.asarray, params)
@@ -158,10 +164,6 @@ def _multiseed_resume(resume_from, params, opt_state, n_seeds, schedulers,
     params = state["params"]["live"]
     opt_state = state["opt_state"]
     best_stack = state["params"]["best"]
-    best_params = [
-        jax.tree.map(lambda a, k=k: np.asarray(a[k]), best_stack)
-        for k in range(n_seeds)
-    ]
     best = np.asarray(mcfg["_ms_best_valid"], np.float64)
     lrs = np.asarray(mcfg["_ms_lrs"], np.float32)
     for s, sd in zip(schedulers, mcfg["_ms_sched"]):
@@ -172,7 +174,7 @@ def _multiseed_resume(resume_from, params, opt_state, n_seeds, schedulers,
     start_epoch = int(meta.get("step", 0))
     logger.text(f"resumed {n_seeds}-seed state from {resume_from} "
                 f"at epoch {start_epoch}")
-    return params, opt_state, best_params, best, lrs, start_epoch
+    return params, opt_state, best_stack, best, lrs, start_epoch
 
 
 def train_mfm_multiseed(
@@ -248,14 +250,20 @@ def train_mfm_multiseed(
     schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
     best = np.full(n_seeds, -np.inf if valid_metric == "accuracy"
                    else np.inf)
-    best_params = [None] * n_seeds
+    # stacked on-device per-seed best tree, gated by has_best
+    best_stack = jax.tree.map(jnp.zeros_like, params)
+    has_best = np.zeros(n_seeds, bool)
     lrs = np.full(n_seeds, lr, np.float32)
     key = jax.random.fold_in(base, 777)
     start_epoch = 0
     if resume_from:
-        (params, opt_state, best_params, best, lrs,
+        (params, opt_state, best_stack, best, lrs,
          start_epoch) = _multiseed_resume(resume_from, params, opt_state,
                                           n_seeds, schedulers, logger)
+        # restored lanes without a recorded best hold their live slice
+        # (the snapshot's fallback), so treating all as "has best" is
+        # exact
+        has_best = np.ones(n_seeds, bool)
         # re-derive the key chain position (one 3-way split per epoch)
         for _ in range(start_epoch):
             key, _, _ = jax.random.split(key, 3)
@@ -287,6 +295,7 @@ def train_mfm_multiseed(
             x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
         params = jax.device_put(params, seed_sh)
         opt_state = jax.device_put(opt_state, seed_sh)
+        best_stack = jax.device_put(best_stack, seed_sh)
         Xb, yb = (jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh))
         Xv_d = jax.device_put(Xv, xv_sh)
     else:
@@ -311,10 +320,12 @@ def train_mfm_multiseed(
                   else (valids <= best))
         for k in range(n_seeds):
             lrs[k] = schedulers[k].step(float(valids[k]))
-            if better[k]:
-                best[k] = valids[k]
-                best_params[k] = jax.tree.map(
-                    lambda a, k=k: np.asarray(a[k]), params)
+        if better.any():
+            # ONE masked-select dispatch instead of per-seed host pulls
+            best_stack = program.select(jnp.asarray(better), params,
+                                        best_stack)
+            best = np.where(better, valids.astype(best.dtype), best)
+            has_best |= better
         logger.text(epoch_i, np.asarray(tracked).round(4).tolist(),
                     valids.round(4).tolist())
         logger.record("epoch", epoch=epoch_i,
@@ -323,19 +334,19 @@ def train_mfm_multiseed(
         history.append({"epoch": epoch_i, "valids": valids.tolist()})
         if ckpt_dir and ckpt_every and (epoch_i + 1) % ckpt_every == 0:
             _multiseed_snapshot(ckpt_dir, cfg, params, opt_state,
-                                best_params, best, lrs, schedulers, epoch_i)
+                                best_stack, has_best, best, lrs,
+                                schedulers, epoch_i, program.select)
 
-    # per-seed test scoring with each seed's best params
-    predict = program.predict_one
+    # per-seed test scoring with each seed's best params (seeds that
+    # never improved — only possible with 0 eval epochs — use live)
+    eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
+    preds = np.asarray(program.predict(eval_stack, Xte))
     results = []
     for k in range(n_seeds):
-        p_k = best_params[k] if best_params[k] is not None else jax.tree.map(
-            lambda a, k=k: np.asarray(a[k]), params)
-        y_hat = np.asarray(predict(p_k, Xte))
         if cfg.task == "classification":
-            m = score_classification(y_hat, yte, out=_Null())
+            m = score_classification(preds[k], yte, out=_Null())
         else:
-            m = score_regression(y_hat, yte, binary_threshold,
+            m = score_regression(preds[k], yte, binary_threshold,
                                  threshold_mode, out=_Null())
         results.append({"seed_index": k, "metrics": m,
                         "best_valid": float(best[k])})
@@ -344,10 +355,11 @@ def train_mfm_multiseed(
         range(n_seeds), key=lambda k: results[k]["metrics"][key_metric])
     logger.record("final", per_seed=[r["metrics"] for r in results],
                   best_seed=pick)
+    pick_tree = jax.tree.map(lambda a: np.asarray(a[pick]), eval_stack)
     # "params"/"step" mirror the single-seed trainers' return so the
     # CLI's --save-ckpt works on multiseed runs (best seed's params)
     return {"results": results, "best_seed": pick,
-            "best_params": best_params[pick], "params": best_params[pick],
+            "best_params": pick_tree, "params": pick_tree,
             "best_valid": float(best[pick]), "step": cfg.num_epochs,
             "history": history}
 

@@ -163,11 +163,11 @@ class TestStateChaining:
                       lrs_new=[0.02], seed=1)
         assert st["lrs"][1] == pytest.approx(0.02)
         assert st["best"][1] == np.inf
-        assert st["best_params"][1] is None
+        assert not st["has_best"][1]
         assert st["schedulers"][1].lr == pytest.approx(0.02)
         # survivor untouched
         assert np.isfinite(st["best"][0])
-        assert st["best_params"][0] is not None
+        assert st["has_best"][0]
 
 
 class TestEvolvingSearch:
@@ -222,6 +222,36 @@ class TestEvolvingSearch:
         assert kw["rungs"] == 3
         assert kw["n_configs"] == 4
         assert kw["cull_frac"] == 0.5
+
+
+class TestEvolveMesh:
+    def test_evolve_on_lane_mesh_matches_unsharded(self, program):
+        """Rung chaining + lane recycling under a lane-sharded mesh:
+        same culls, same results as the unsharded run (the multi-chip
+        evolving-search scaling story)."""
+        import random
+
+        import jax
+
+        from factorized_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        data = _data()
+        kw = dict(n_configs=4, rungs=2, cull_frac=0.5,
+                  seeds_per_config=2, seed=13, program=program)
+        ref = train_evolving_search(*data, CFG, "mosi",
+                                    logger=RunLogger(echo=False),
+                                    rng=random.Random(13), **kw)
+        shd = train_evolving_search(*data, CFG, "mosi",
+                                    logger=RunLogger(echo=False),
+                                    rng=random.Random(13),
+                                    mesh=make_mesh(8), **kw)
+        assert shd["explored_configs"] == ref["explored_configs"]
+        assert [r["culled"] for r in shd["rungs"]] == \
+               [r["culled"] for r in ref["rungs"]]
+        assert abs(shd["best"]["metrics"]["mae"]
+                   - ref["best"]["metrics"]["mae"]) < 5e-3
 
 
 class TestEvolveResume:
