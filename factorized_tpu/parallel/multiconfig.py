@@ -34,7 +34,14 @@ import numpy as np
 
 from factorized_tpu.config import sample_search_config
 from factorized_tpu.models import get_model
-from factorized_tpu.parallel.multiseed import MULTISEED_TYPES, _Null
+from factorized_tpu.parallel.multiseed import (
+    DEFAULT_EPOCH_CHUNK,
+    MULTISEED_TYPES,
+    _compile_run_epochs,
+    _Null,
+    sched_from_dicts,
+    sched_to_dicts,
+)
 from factorized_tpu.train import (
     make_batches,
     make_eval_fn,
@@ -44,7 +51,7 @@ from factorized_tpu.train import (
 )
 from factorized_tpu.utils.logging import RunLogger
 from factorized_tpu.utils.metrics import score_classification, score_regression
-from factorized_tpu.utils.scheduler import ReduceLROnPlateau
+from factorized_tpu.utils.scheduler import plateau_init
 
 # Per-lane VALUE fields: traced into the vmapped program as a (K, n_hp)
 # matrix. Everything the per-dataset search samples that is not a shape
@@ -130,7 +137,8 @@ class ConfigBucketProgram:
             return (jnp.squeeze(y_hat, 1) if rep_cfg.task == "regression"
                     else y_hat)
 
-        self.predict = jax.jit(jax.vmap(predict_fn, in_axes=(0, None)))
+        predict_v = jax.vmap(predict_fn, in_axes=(0, None))
+        self.predict = jax.jit(predict_v)
         self.predict_one = jax.jit(predict_fn)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -161,7 +169,8 @@ class ConfigBucketProgram:
             return params, opt_state, acc / nb
 
         self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
-        self.evaluate = jax.jit(jax.vmap(eval_fn, in_axes=(0, None, None, 0)))
+        eval_v = jax.vmap(eval_fn, in_axes=(0, None, None, 0))
+        self.evaluate = jax.jit(eval_v)
 
         def select(mask, new, old):
             # per-lane masked where over stacked (K, ...) trees
@@ -172,6 +181,8 @@ class ConfigBucketProgram:
             return jax.tree.map(sel, new, old)
 
         self.select = jax.jit(select)
+        self._pieces = (epoch, eval_v, predict_v, select)
+        self._run_cache = {}
 
         if init_fn is not None:
             def recycle(params, opt_state, lanes, base):
@@ -189,6 +200,14 @@ class ConfigBucketProgram:
             self.recycle = jax.jit(recycle, donate_argnums=(0, 1))
         else:
             self.recycle = None
+
+    def run_epochs(self, valid_metric: str):
+        """Cached jitted multi-epoch chunk program with per-lane traced
+        hyperparameters (see ``multiseed._compile_run_epochs``)."""
+        if valid_metric not in self._run_cache:
+            self._run_cache[valid_metric] = _compile_run_epochs(
+                *self._pieces, valid_metric, with_hps=True)
+        return self._run_cache[valid_metric]
 
 
 def train_config_bucket(
@@ -279,9 +298,9 @@ def train_config_bucket(
                                 seeds_per_config)
         else:
             lane_lr = np.full(K, 1e-3 if lr is None else lr)
-        lrs = lane_lr.astype(np.float32)
+        sched = plateau_init(lane_lr.astype(np.float32))
     else:
-        lrs = np.asarray(state_in["lrs"], np.float32).copy()
+        sched = state_in["sched"]
 
     Xb, yb, _ = make_batches(X_train, ytr, rep.batchsize, False)
     hps_d = jnp.asarray(hps)
@@ -319,57 +338,55 @@ def train_config_bucket(
         Xv_d = jax.device_put(Xv)
 
     if state_in is None:
-        schedulers = [ReduceLROnPlateau(float(v)) for v in lrs]
-        best = np.full(K,
-                       -np.inf if valid_metric == "accuracy" else np.inf)
+        best = jnp.full((K,), -jnp.inf if valid_metric == "accuracy"
+                        else jnp.inf, jnp.float32)
         # stacked on-device per-lane best-params tree, gated by has_best
         # (content of a lane is meaningless until its mask bit is set)
         best_stack = jax.tree.map(jnp.zeros_like, params)
-        has_best = np.zeros(K, bool)
+        has_best = jnp.zeros((K,), bool)
     else:
-        schedulers = state_in["schedulers"]
-        best = np.asarray(state_in["best"]).copy()
+        best = jnp.asarray(state_in["best"], jnp.float32)
         best_stack = state_in["best_stack"]
-        has_best = np.asarray(state_in["has_best"]).copy()
-        if mesh is not None:
-            best_stack = jax.device_put(best_stack, lane_sh)
+        has_best = jnp.asarray(state_in["has_best"])
+    if mesh is not None:
+        best_stack = jax.device_put(best_stack, lane_sh)
+        best = jax.device_put(best, lane_sh)
+        has_best = jax.device_put(has_best, lane_sh)
+        sched = {k: jax.device_put(v, lane_sh) for k, v in sched.items()}
+        yv_d = jax.device_put(yv, NamedSharding(mesh, P()))
+    else:
+        yv_d = jax.device_put(yv)
     key = jax.random.fold_in(base, key_salt)
 
+    # whole CHUNKS of epochs run as one device program (train + eval +
+    # best-select + scheduler step in a lax.scan) — the host sees one
+    # round-trip per chunk, not per epoch
+    run = program.run_epochs(valid_metric)
+    chunk = min(rep.num_epochs, DEFAULT_EPOCH_CHUNK) or 1
     history = []
-    for epoch_i in range(rep.num_epochs):
-        key, ek, vk = jax.random.split(key, 3)
-        ekeys = jax.random.split(ek, K)
-        params, opt_state, tracked = program.epoch(
-            params, opt_state, Xb, yb, ekeys, jnp.asarray(lrs), hps_d)
-        if valid_metric == "accuracy":
-            logits = np.asarray(program.predict(params, Xv_d))
-            valids = (np.argmax(logits, axis=2) == yv[None]).mean(axis=1)
-        else:
-            valids = np.asarray(
-                program.evaluate(params, Xv_d, yv, jax.random.split(vk, K)))
-        better = ((valids >= best) if valid_metric == "accuracy"
-                  else (valids <= best))
-        for k in range(K):
-            lrs[k] = schedulers[k].step(float(valids[k]))
-        if better.any():
-            # ONE masked-select dispatch keeps the stacked best tree
-            # current — no per-lane device->host pulls in the loop
-            best_stack = program.select(jnp.asarray(better), params,
-                                        best_stack)
-            best = np.where(better, valids.astype(best.dtype), best)
-            has_best |= better
-        ep = epoch_offset + epoch_i
-        logger.text(ep, np.asarray(tracked).round(4).tolist(),
-                    valids.round(4).tolist())
-        logger.record("epoch", epoch=ep,
-                      train_loss=np.asarray(tracked).tolist(),
-                      valid_loss=valids.tolist())
-        history.append({"epoch": ep, "valids": valids.tolist()})
+    e = 0
+    while e < rep.num_epochs:
+        n = min(chunk - e % chunk, rep.num_epochs - e)
+        (params, opt_state, best_stack, best, has_best, sched, key,
+         trackeds, validss, _) = run(params, opt_state, best_stack, best,
+                                     has_best, sched, Xb, yb, Xv_d, yv_d,
+                                     key, hps_d, n)
+        trackeds, validss = np.asarray(trackeds), np.asarray(validss)
+        for j in range(n):
+            ep = epoch_offset + e + j
+            logger.text(ep, trackeds[j].round(4).tolist(),
+                        validss[j].round(4).tolist())
+            logger.record("epoch", epoch=ep,
+                          train_loss=trackeds[j].tolist(),
+                          valid_loss=validss[j].tolist())
+            history.append({"epoch": ep, "valids": validss[j].tolist()})
+        e += n
 
     # lanes that never recorded a best (possible only with 0 epochs or
     # right after a recycle) fall back to their live params
     eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
     preds = np.asarray(program.predict(eval_stack, Xte))
+    best_h = np.asarray(best)
     results = []
     for k in range(K):
         if rep.task == "classification":
@@ -381,7 +398,7 @@ def train_config_bucket(
             "config_index": k // seeds_per_config,
             "seed_index": k % seeds_per_config,
             "metrics": m,
-            "best_valid": float(best[k]),
+            "best_valid": float(best_h[k]),
         })
     key_metric = "accuracy" if rep.task == "classification" else "mae"
     pick = (max if rep.task == "classification" else min)(
@@ -395,9 +412,8 @@ def train_config_bucket(
            "params": pick_tree, "history": history}
     if return_state:
         out["state"] = {"params": params, "opt_state": opt_state,
-                        "lrs": lrs, "schedulers": schedulers,
-                        "best": best, "best_stack": best_stack,
-                        "has_best": has_best}
+                        "sched": sched, "best": best,
+                        "best_stack": best_stack, "has_best": has_best}
     return out
 
 
@@ -443,13 +459,15 @@ def recycle_lanes(state, lane_indices, *, cfg, init, opt, lrs_new,
         state["opt_state"] = jax.tree.map(
             lambda a, f: a.at[lanes].set(f), state["opt_state"],
             fresh_opt)
-    for j, k in enumerate(lane_indices):
-        new_lr = float(lrs_new[j])
-        state["lrs"][k] = new_lr
-        state["schedulers"][k] = ReduceLROnPlateau(new_lr)
-        state["best"][k] = (-np.inf if valid_metric == "accuracy"
-                            else np.inf)
-        state["has_best"][k] = False
+    lrs_arr = jnp.asarray(np.asarray(lrs_new, np.float32))
+    sched = state["sched"]
+    state["sched"] = {"lr": sched["lr"].at[lanes].set(lrs_arr),
+                      "best": sched["best"].at[lanes].set(jnp.inf),
+                      "bad": sched["bad"].at[lanes].set(0),
+                      "cooldown": sched["cooldown"].at[lanes].set(0)}
+    state["best"] = state["best"].at[lanes].set(
+        -jnp.inf if valid_metric == "accuracy" else jnp.inf)
+    state["has_best"] = state["has_best"].at[lanes].set(False)
     return state
 
 
@@ -478,17 +496,16 @@ def _evolve_snapshot(path, template, state, cfgs, rung_next, rng,
     tree = {"live": jax.tree.map(np.asarray, state["params"]),
             "best": jax.tree.map(np.asarray, state["best_stack"]),
             "overall": jax.tree.map(np.asarray, overall["params"])}
+    sched_json = sched_to_dicts(state["sched"])
     meta = template.to_dict()
     meta["_ev"] = {
         "rung_next": rung_next,
         "explored": explored,
         "cfgs": [c.to_dict() for c in cfgs],
-        "lrs": [float(v) for v in state["lrs"]],
-        "best_valid": [float(b) for b in state["best"]],
-        "has_best": [bool(b) for b in state["has_best"]],
-        "sched": [{"lr": s.lr, "best": s.best, "bad": s.num_bad_epochs,
-                   "cooldown": s.cooldown_counter}
-                  for s in state["schedulers"]],
+        "lrs": [d["lr"] for d in sched_json],
+        "best_valid": [float(b) for b in np.asarray(state["best"])],
+        "has_best": [bool(b) for b in np.asarray(state["has_best"])],
+        "sched": sched_json,
         "rng": _rng_to_json(rng.getstate()),
         "overall": {k: overall[k]
                     for k in ("metrics", "best_valid", "config", "rung")},
@@ -528,20 +545,12 @@ def _evolve_resume(resume_from, template, rng, params0, opt_state0,
             f"checkpoint at {resume_from} was taken at a different "
             "shape signature than this run's template; resume with the "
             "same --seed/--config so the template matches")
-    schedulers = []
-    for sd in ev["sched"]:
-        s = ReduceLROnPlateau(sd["lr"])
-        s.lr, s.best = sd["lr"], sd["best"]
-        s.num_bad_epochs = sd["bad"]
-        s.cooldown_counter = sd["cooldown"]
-        schedulers.append(s)
     state = {"params": st["params"]["live"],
              "opt_state": st["opt_state"],
-             "lrs": np.asarray(ev["lrs"], np.float32),
-             "schedulers": schedulers,
-             "best": np.asarray(ev["best_valid"], np.float64),
+             "sched": sched_from_dicts(ev["sched"]),
+             "best": jnp.asarray(ev["best_valid"], jnp.float32),
              "best_stack": st["params"]["best"],
-             "has_best": np.asarray(ev["has_best"], bool)}
+             "has_best": jnp.asarray(np.asarray(ev["has_best"], bool))}
     rng.setstate(_rng_from_json(ev["rng"]))
     overall = dict(ev["overall"])
     overall["params"] = st["params"]["overall"]

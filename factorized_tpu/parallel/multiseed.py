@@ -36,7 +36,71 @@ from factorized_tpu.utils.metrics import (
     score_classification,
     score_regression,
 )
-from factorized_tpu.utils.scheduler import ReduceLROnPlateau
+from factorized_tpu.utils.scheduler import plateau_init, plateau_step
+
+# Epochs per device dispatch when no checkpoint cadence dictates the
+# boundary: the whole chunk (train epochs + evals + scheduler steps +
+# best-select) runs as ONE lax.scan program, so the host round-trip —
+# which dominated the search loop through the TPU tunnel (see
+# scripts/evolve_probe.py) — is paid once per chunk, not per epoch.
+DEFAULT_EPOCH_CHUNK = 10
+
+
+def _compile_run_epochs(epoch_fn, eval_v, predict_v, select_fn,
+                        valid_metric, with_hps):
+    """Jitted multi-epoch program: ``lax.scan`` over ``n_epochs``
+    (static) iterations of [train epoch -> eval -> best-select ->
+    plateau scheduler step], everything on device. Returns the advanced
+    carry plus stacked per-epoch (tracked, valids, lr) for logging.
+
+    The PRNG chain (one 3-way split per epoch, K-way split for the
+    epoch keys, K-way split for the eval keys) is identical to the
+    former per-epoch host loop, so chunked runs reproduce it bitwise
+    and crash-resume stays exact (tests/test_multiseed_resume.py,
+    tests/test_evolve.py)."""
+    acc_mode = valid_metric == "accuracy"
+
+    def run(params, opt_state, best_stack, best, has_best, sched,
+            Xb, yb, Xv, yv, key, hps, n_epochs):
+        k = sched["lr"].shape[0]
+
+        def body(carry, _):
+            params, opt_state, best_stack, best, has_best, sched, key = carry
+            key, ek, vk = jax.random.split(key, 3)
+            ekeys = jax.random.split(ek, k)
+            if with_hps:
+                params, opt_state, tracked = epoch_fn(
+                    params, opt_state, Xb, yb, ekeys, sched["lr"], hps)
+            else:
+                params, opt_state, tracked = epoch_fn(
+                    params, opt_state, Xb, yb, ekeys, sched["lr"])
+            if acc_mode:
+                logits = predict_v(params, Xv)
+                valids = (jnp.argmax(logits, axis=2) == yv[None]).mean(
+                    axis=1).astype(jnp.float32)
+                better = valids >= best
+            else:
+                valids = eval_v(params, Xv, yv, jax.random.split(vk, k))
+                better = valids <= best
+            best_stack = select_fn(better, params, best_stack)
+            best = jnp.where(better, valids, best)
+            has_best = has_best | better
+            # min-mode regardless of valid_metric — the reference's
+            # acc-keeper steps the SAME min-mode scheduler on accuracy
+            # (mfm_mosi_acc.py:479-485; quirk kept)
+            sched = plateau_step(sched, valids)
+            return ((params, opt_state, best_stack, best, has_best,
+                     sched, key),
+                    (tracked, valids, sched["lr"]))
+
+        carry, ys = jax.lax.scan(
+            body,
+            (params, opt_state, best_stack, best, has_best, sched, key),
+            None, length=n_epochs)
+        return carry + ys
+
+    return jax.jit(run, static_argnums=(12,),
+                   donate_argnums=(0, 1, 2, 3, 4, 5))
 
 
 class MultiSeedProgram:
@@ -53,7 +117,8 @@ class MultiSeedProgram:
             return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
                     else y_hat)
 
-        self.predict = jax.jit(jax.vmap(predict_fn, in_axes=(0, None)))
+        predict_v = jax.vmap(predict_fn, in_axes=(0, None))
+        self.predict = jax.jit(predict_v)
         self.predict_one = jax.jit(predict_fn)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -85,9 +150,8 @@ class MultiSeedProgram:
             return params, opt_state, acc / nb
 
         self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
-        self.evaluate = jax.jit(
-            jax.vmap(eval_fn, in_axes=(0, None, None, 0))
-        )
+        eval_v = jax.vmap(eval_fn, in_axes=(0, None, None, 0))
+        self.evaluate = jax.jit(eval_v)
 
         def select(mask, new, old):
             # per-seed masked where over stacked (K, ...) trees — keeps
@@ -102,6 +166,16 @@ class MultiSeedProgram:
             return jax.tree.map(sel, new, old)
 
         self.select = jax.jit(select)
+        self._pieces = (epoch, eval_v, predict_v, select)
+        self._run_cache = {}
+
+    def run_epochs(self, valid_metric: str):
+        """Cached jitted multi-epoch chunk program (see
+        :func:`_compile_run_epochs`)."""
+        if valid_metric not in self._run_cache:
+            self._run_cache[valid_metric] = _compile_run_epochs(
+                *self._pieces, valid_metric, with_hps=False)
+        return self._run_cache[valid_metric]
 
     @staticmethod
     def vinit(init, cfg, base_key, n_seeds):
@@ -118,8 +192,27 @@ class MultiSeedProgram:
 MULTISEED_TYPES = ("mfm", "kl", "m_a", "m_b", "m_c", "m_d")
 
 
+def sched_to_dicts(sched):
+    """Device plateau state -> the snapshot JSON format (list of
+    per-lane {lr, best, bad, cooldown} dicts — unchanged on disk from
+    the host-scheduler era, so old checkpoints restore)."""
+    sc = {k: np.asarray(v) for k, v in sched.items()}
+    return [{"lr": float(sc["lr"][i]), "best": float(sc["best"][i]),
+             "bad": int(sc["bad"][i]), "cooldown": int(sc["cooldown"][i])}
+            for i in range(sc["lr"].shape[0])]
+
+
+def sched_from_dicts(dicts):
+    """Inverse of :func:`sched_to_dicts`."""
+    return {"lr": jnp.asarray([d["lr"] for d in dicts], jnp.float32),
+            "best": jnp.asarray([d["best"] for d in dicts], jnp.float32),
+            "bad": jnp.asarray([d["bad"] for d in dicts], jnp.int32),
+            "cooldown": jnp.asarray([d["cooldown"] for d in dicts],
+                                    jnp.int32)}
+
+
 def _multiseed_snapshot(path, cfg, params, opt_state, best_stack, has_best,
-                        best, lrs, schedulers, epoch, select):
+                        best, sched, epoch, select):
     """Persist the FULL K-seed training state (live + per-seed-best
     params, opt_state, best-valid, lr and scheduler internals) so a
     killed search resumes exactly — the reference's closest analogue is
@@ -130,14 +223,10 @@ def _multiseed_snapshot(path, cfg, params, opt_state, best_stack, has_best,
     from factorized_tpu.utils.checkpoint import save_checkpoint
 
     meta = cfg.to_dict()
-    meta["_ms_n_seeds"] = len(schedulers)
-    meta["_ms_best_valid"] = [float(b) for b in best]
-    meta["_ms_lrs"] = [float(v) for v in lrs]
-    meta["_ms_sched"] = [
-        {"lr": s.lr, "best": s.best, "bad": s.num_bad_epochs,
-         "cooldown": s.cooldown_counter}
-        for s in schedulers
-    ]
+    meta["_ms_n_seeds"] = int(sched["lr"].shape[0])
+    meta["_ms_best_valid"] = [float(b) for b in np.asarray(best)]
+    meta["_ms_lrs"] = [float(v) for v in np.asarray(sched["lr"])]
+    meta["_ms_sched"] = sched_to_dicts(sched)
     best_out = select(jnp.asarray(has_best), best_stack, params)
     state = {"live": jax.tree.map(np.asarray, params),
              "best": jax.tree.map(np.asarray, best_out)}
@@ -145,10 +234,9 @@ def _multiseed_snapshot(path, cfg, params, opt_state, best_stack, has_best,
                     step=epoch + 1, config=meta)
 
 
-def _multiseed_resume(resume_from, params, opt_state, n_seeds, schedulers,
-                      logger):
+def _multiseed_resume(resume_from, params, opt_state, n_seeds, logger):
     """Restore a _multiseed_snapshot. Returns (params, opt_state,
-    best_stack, best, lrs, start_epoch); mutates ``schedulers``."""
+    best_stack, best, sched, start_epoch)."""
     from factorized_tpu.utils.checkpoint import restore_checkpoint
 
     host = jax.tree.map(np.asarray, params)
@@ -164,17 +252,12 @@ def _multiseed_resume(resume_from, params, opt_state, n_seeds, schedulers,
     params = state["params"]["live"]
     opt_state = state["opt_state"]
     best_stack = state["params"]["best"]
-    best = np.asarray(mcfg["_ms_best_valid"], np.float64)
-    lrs = np.asarray(mcfg["_ms_lrs"], np.float32)
-    for s, sd in zip(schedulers, mcfg["_ms_sched"]):
-        s.lr = sd["lr"]
-        s.best = sd["best"]
-        s.num_bad_epochs = sd["bad"]
-        s.cooldown_counter = sd["cooldown"]
+    best = jnp.asarray(mcfg["_ms_best_valid"], jnp.float32)
+    sched = sched_from_dicts(mcfg["_ms_sched"])
     start_epoch = int(meta.get("step", 0))
     logger.text(f"resumed {n_seeds}-seed state from {resume_from} "
                 f"at epoch {start_epoch}")
-    return params, opt_state, best_stack, best, lrs, start_epoch
+    return params, opt_state, best_stack, best, sched, start_epoch
 
 
 def train_mfm_multiseed(
@@ -247,23 +330,25 @@ def train_mfm_multiseed(
     opt_state = jax.vmap(opt.init)(params)
     program = MultiSeedProgram(apply_fn, cfg, opt)
 
-    schedulers = [ReduceLROnPlateau(lr) for _ in range(n_seeds)]
-    best = np.full(n_seeds, -np.inf if valid_metric == "accuracy"
-                   else np.inf)
-    # stacked on-device per-seed best tree, gated by has_best
+    # all per-seed bookkeeping lives ON DEVICE: plateau scheduler
+    # state, best-valid record, stacked best-params tree (gated by
+    # has_best). The epoch loop below dispatches whole CHUNKS of epochs
+    # as one program, so none of this round-trips the host per epoch.
+    sched = plateau_init(np.full(n_seeds, lr, np.float32))
+    best = jnp.full((n_seeds,), -jnp.inf if valid_metric == "accuracy"
+                    else jnp.inf, jnp.float32)
     best_stack = jax.tree.map(jnp.zeros_like, params)
-    has_best = np.zeros(n_seeds, bool)
-    lrs = np.full(n_seeds, lr, np.float32)
+    has_best = jnp.zeros((n_seeds,), bool)
     key = jax.random.fold_in(base, 777)
     start_epoch = 0
     if resume_from:
-        (params, opt_state, best_stack, best, lrs,
+        (params, opt_state, best_stack, best, sched,
          start_epoch) = _multiseed_resume(resume_from, params, opt_state,
-                                          n_seeds, schedulers, logger)
+                                          n_seeds, logger)
         # restored lanes without a recorded best hold their live slice
         # (the snapshot's fallback), so treating all as "has best" is
         # exact
-        has_best = np.ones(n_seeds, bool)
+        has_best = jnp.ones((n_seeds,), bool)
         # re-derive the key chain position (one 3-way split per epoch)
         for _ in range(start_epoch):
             key, _, _ = jax.random.split(key, 3)
@@ -296,51 +381,51 @@ def train_mfm_multiseed(
         params = jax.device_put(params, seed_sh)
         opt_state = jax.device_put(opt_state, seed_sh)
         best_stack = jax.device_put(best_stack, seed_sh)
+        best = jax.device_put(best, seed_sh)
+        has_best = jax.device_put(has_best, seed_sh)
+        sched = {k: jax.device_put(v, seed_sh) for k, v in sched.items()}
         Xb, yb = (jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh))
         Xv_d = jax.device_put(Xv, xv_sh)
+        yv_d = jax.device_put(yv, NamedSharding(mesh, P()))
     else:
         # device-resident across all epochs
         Xb, yb = jax.device_put(Xb), jax.device_put(yb)
         Xv_d = jax.device_put(Xv)
+        yv_d = jax.device_put(yv)
 
+    # chunk boundaries anchored at epoch 0 and aligned to ckpt_every,
+    # so a resumed run re-enters on a boundary and reproduces the
+    # uninterrupted run's programs exactly
+    run = program.run_epochs(valid_metric)
+    chunk = (ckpt_every if (ckpt_dir and ckpt_every)
+             else min(cfg.num_epochs, DEFAULT_EPOCH_CHUNK)) or 1
     history = []
-    for epoch_i in range(start_epoch, cfg.num_epochs):
-        key, ek, vk = jax.random.split(key, 3)
-        ekeys = jax.random.split(ek, n_seeds)
-        params, opt_state, tracked = program.epoch(
-            params, opt_state, Xb, yb, ekeys, jnp.asarray(lrs))
-        if valid_metric == "accuracy":
-            logits = np.asarray(program.predict(params, Xv_d))
-            valids = (np.argmax(logits, axis=2) == yv[None]).mean(axis=1)
-        else:
-            valids = np.asarray(
-                program.evaluate(params, Xv_d, yv,
-                                 jax.random.split(vk, n_seeds)))
-        better = ((valids >= best) if valid_metric == "accuracy"
-                  else (valids <= best))
-        for k in range(n_seeds):
-            lrs[k] = schedulers[k].step(float(valids[k]))
-        if better.any():
-            # ONE masked-select dispatch instead of per-seed host pulls
-            best_stack = program.select(jnp.asarray(better), params,
-                                        best_stack)
-            best = np.where(better, valids.astype(best.dtype), best)
-            has_best |= better
-        logger.text(epoch_i, np.asarray(tracked).round(4).tolist(),
-                    valids.round(4).tolist())
-        logger.record("epoch", epoch=epoch_i,
-                      train_loss=np.asarray(tracked).tolist(),
-                      valid_loss=valids.tolist())
-        history.append({"epoch": epoch_i, "valids": valids.tolist()})
-        if ckpt_dir and ckpt_every and (epoch_i + 1) % ckpt_every == 0:
+    e = start_epoch
+    while e < cfg.num_epochs:
+        n = min(chunk - e % chunk, cfg.num_epochs - e)
+        (params, opt_state, best_stack, best, has_best, sched, key,
+         trackeds, validss, _) = run(params, opt_state, best_stack, best,
+                                     has_best, sched, Xb, yb, Xv_d, yv_d,
+                                     key, None, n)
+        trackeds, validss = np.asarray(trackeds), np.asarray(validss)
+        for j in range(n):
+            logger.text(e + j, trackeds[j].round(4).tolist(),
+                        validss[j].round(4).tolist())
+            logger.record("epoch", epoch=e + j,
+                          train_loss=trackeds[j].tolist(),
+                          valid_loss=validss[j].tolist())
+            history.append({"epoch": e + j, "valids": validss[j].tolist()})
+        e += n
+        if ckpt_dir and ckpt_every and e % ckpt_every == 0:
             _multiseed_snapshot(ckpt_dir, cfg, params, opt_state,
-                                best_stack, has_best, best, lrs,
-                                schedulers, epoch_i, program.select)
+                                best_stack, has_best, best, sched,
+                                e - 1, program.select)
 
     # per-seed test scoring with each seed's best params (seeds that
     # never improved — only possible with 0 eval epochs — use live)
     eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
     preds = np.asarray(program.predict(eval_stack, Xte))
+    best = np.asarray(best)
     results = []
     for k in range(n_seeds):
         if cfg.task == "classification":

@@ -161,13 +161,14 @@ class TestStateChaining:
         opt = make_optimizer("adam", None, CFG.momentum)
         recycle_lanes(st, [1], cfg=CFG, init=init, opt=opt,
                       lrs_new=[0.02], seed=1)
-        assert st["lrs"][1] == pytest.approx(0.02)
-        assert st["best"][1] == np.inf
-        assert not st["has_best"][1]
-        assert st["schedulers"][1].lr == pytest.approx(0.02)
+        assert float(st["sched"]["lr"][1]) == pytest.approx(0.02)
+        assert float(st["best"][1]) == np.inf
+        assert not bool(st["has_best"][1])
+        assert float(st["sched"]["best"][1]) == np.inf
+        assert int(st["sched"]["bad"][1]) == 0
         # survivor untouched
-        assert np.isfinite(st["best"][0])
-        assert st["has_best"][0]
+        assert np.isfinite(float(st["best"][0]))
+        assert bool(st["has_best"][0])
 
 
 class TestEvolvingSearch:

@@ -101,6 +101,42 @@ class TestScheduler:
             lr = ours.step(v)
             assert abs(opt.param_groups[0]["lr"] - lr) < 1e-12
 
+    def test_device_plateau_matches_host_class(self):
+        """The jit-safe vectorized plateau (plateau_init/plateau_step —
+        stepped INSIDE the multilane chunk programs) reproduces the
+        host class lane-for-lane: lr sequence and internal counters,
+        including reductions and cooldown re-arming."""
+        import jax
+
+        from factorized_tpu.utils.scheduler import (
+            plateau_init,
+            plateau_step,
+        )
+
+        rng = np.random.default_rng(0)
+        K = 6
+        lrs0 = rng.uniform(1e-4, 1e-2, K).astype(np.float32)
+        hosts = [ReduceLROnPlateau(float(v), patience=2, cooldown=1)
+                 for v in lrs0]
+        sched = plateau_init(lrs0)
+        step = jax.jit(lambda s, m: plateau_step(s, m, patience=2,
+                                                 cooldown=1))
+        # plateau-heavy tail forces several reductions per lane
+        seq = np.concatenate([rng.uniform(0.5, 1.5, (25, K)),
+                              np.full((15, K), 0.7)]).astype(np.float32)
+        for m in seq:
+            host_lrs = [h.step(float(v)) for h, v in zip(hosts, m)]
+            sched = step(sched, m)
+            np.testing.assert_allclose(np.asarray(sched["lr"]),
+                                       np.asarray(host_lrs, np.float32),
+                                       rtol=1e-6)
+            assert [int(b) for b in np.asarray(sched["bad"])] == \
+                   [h.num_bad_epochs for h in hosts]
+            assert [int(c) for c in np.asarray(sched["cooldown"])] == \
+                   [h.cooldown_counter for h in hosts]
+        assert any(h.lr < float(v) for h, v in zip(hosts, lrs0)), \
+            "sequence never triggered a reduction - test is vacuous"
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):

@@ -75,6 +75,35 @@ class TestMultiseedResume:
         _tree_allclose(full["best_params"], resumed["best_params"],
                        atol=1e-6)
 
+    def test_chunk_size_does_not_change_results(self, monkeypatch):
+        """The epoch loop dispatches CHUNKS of epochs as one device
+        program; chunk boundaries are an implementation detail — a
+        5-epoch run chunked (5), (2,2,1) and (3,2) must produce the
+        same per-epoch history and final results."""
+        import factorized_tpu.parallel.multiseed as msm
+
+        data = _data()
+        quiet = RunLogger(echo=False)
+        cfg = CFG.replace(num_epochs=5)
+        ref = train_mfm_multiseed(*data, cfg, n_seeds=2, seed=5,
+                                  logger=quiet)
+        monkeypatch.setattr(msm, "DEFAULT_EPOCH_CHUNK", 2)
+        small = train_mfm_multiseed(*data, cfg, n_seeds=2, seed=5,
+                                    logger=quiet)
+        monkeypatch.setattr(msm, "DEFAULT_EPOCH_CHUNK", 3)
+        mid = train_mfm_multiseed(*data, cfg, n_seeds=2, seed=5,
+                                  logger=quiet)
+        for other in (small, mid):
+            for ea, eb in zip(ref["history"], other["history"]):
+                assert ea["epoch"] == eb["epoch"]
+                np.testing.assert_allclose(ea["valids"], eb["valids"],
+                                           rtol=0, atol=1e-6)
+            for ra, rb in zip(ref["results"], other["results"]):
+                assert ra["best_valid"] == pytest.approx(
+                    rb["best_valid"], abs=1e-6)
+                assert ra["metrics"]["mae"] == pytest.approx(
+                    rb["metrics"]["mae"], abs=1e-5)
+
     def test_resume_rejects_seed_count_mismatch(self, tmp_path):
         data = _data()
         quiet = RunLogger(echo=False)
