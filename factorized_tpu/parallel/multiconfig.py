@@ -210,6 +210,60 @@ class ConfigBucketProgram:
         return self._run_cache[valid_metric]
 
 
+def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
+                        y_test, rep, *, seed: int = 123, mesh=None):
+    """Shuffle/batch/device-place the dataset ONCE for (possibly many)
+    :func:`train_config_bucket` calls at one shape signature.
+
+    The evolving search runs every rung against the SAME tensors;
+    re-uploading the full train/valid/test set through a TPU tunnel on
+    each rung call measurably dominated the steady rung wall
+    (scripts/evolve_probe.py), so the rung driver builds this once and
+    passes it as ``prep=``."""
+    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
+    Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1),
+                              np.float32)
+    Xte = np.ascontiguousarray(np.asarray(X_test).swapaxes(0, 1),
+                               np.float32)
+    yv, yte = np.asarray(y_valid), np.asarray(y_test)
+    if rep.task == "classification":
+        yv, yte = yv.astype(np.int32), yte.astype(np.int32)
+        ytr = np.asarray(y_train, np.int32)
+    else:
+        yv, yte = yv.astype(np.float32), yte.astype(np.float32)
+        ytr = np.asarray(y_train, np.float32)
+    Xb, yb, _ = make_batches(X_train, ytr, rep.batchsize, False)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if "batch" in mesh.axis_names:
+            b_dev = mesh.shape["batch"]
+            if rep.batchsize % b_dev:
+                raise ValueError(
+                    f"batchsize={rep.batchsize} must divide the mesh "
+                    f"'batch' axis ({b_dev})")
+            x_sh = NamedSharding(mesh, P(None, None, "batch"))
+            y_sh = NamedSharding(mesh, P(None, "batch"))
+            xv_sh = (NamedSharding(mesh, P(None, "batch"))
+                     if Xv.shape[1] % b_dev == 0
+                     else NamedSharding(mesh, P()))
+        else:
+            x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
+        rep_sh = NamedSharding(mesh, P())
+        Xb, yb = jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh)
+        Xv_d = jax.device_put(Xv, xv_sh)
+        yv_d = jax.device_put(yv, rep_sh)
+        Xte_d = jax.device_put(Xte, rep_sh)
+    else:
+        Xb, yb = jax.device_put(Xb), jax.device_put(yb)
+        Xv_d = jax.device_put(Xv)
+        yv_d = jax.device_put(yv)
+        Xte_d = jax.device_put(Xte)
+    return {"Xb": Xb, "yb": yb, "Xv": Xv_d, "yv": yv_d,
+            "Xte": Xte_d, "yte": yte,
+            "seed": seed, "batchsize": rep.batchsize, "task": rep.task}
+
+
 def train_config_bucket(
     X_train, y_train, X_valid, y_valid, X_test, y_test, cfgs, *,
     seeds_per_config: int = 1,
@@ -226,6 +280,7 @@ def train_config_bucket(
     key_salt: int = 777,
     epoch_offset: int = 0,
     program: Optional["ConfigBucketProgram"] = None,
+    prep: Optional[dict] = None,
 ):
     """Train a BUCKET of same-shape configs — K = len(cfgs) *
     seeds_per_config lanes — as one vmapped program.
@@ -247,6 +302,9 @@ def train_config_bucket(
     per-lane lr + scheduler internals, best-valid records) for another
     ``num_epochs``. ``key_salt`` varies the per-rung dropout/MMD key
     stream; ``epoch_offset`` makes logged epoch numbers absolute.
+    ``prep``: pre-placed dataset from :func:`prepare_bucket_data` (must
+    have been built with the same ``seed``/``mesh``) — rung drivers use
+    it to upload the data once instead of once per call.
 
     Returns {"results": [per-lane {config_index, seed_index, metrics,
     best_valid}], "best_lane": int, "best_params": pytree} (+ "state"
@@ -266,16 +324,18 @@ def train_config_bucket(
             f"{MULTISEED_TYPES}; got {rep.model_type!r}")
     K = len(cfgs) * seeds_per_config
 
-    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
-    Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
-    Xte = np.ascontiguousarray(np.asarray(X_test).swapaxes(0, 1), np.float32)
-    yv, yte = np.asarray(y_valid), np.asarray(y_test)
-    if rep.task == "classification":
-        yv, yte = yv.astype(np.int32), yte.astype(np.int32)
-        ytr = np.asarray(y_train, np.int32)
-    else:
-        yv, yte = yv.astype(np.float32), yte.astype(np.float32)
-        ytr = np.asarray(y_train, np.float32)
+    if prep is None:
+        prep = prepare_bucket_data(X_train, y_train, X_valid, y_valid,
+                                   X_test, y_test, rep, seed=seed,
+                                   mesh=mesh)
+    elif prep["seed"] != seed or prep["batchsize"] != rep.batchsize \
+            or prep["task"] != rep.task:
+        raise ValueError(
+            "prep= was built for a different seed/batchsize/task than "
+            "this bucket; rebuild it with prepare_bucket_data(...)")
+    Xb, yb = prep["Xb"], prep["yb"]
+    Xv_d, yv_d = prep["Xv"], prep["yv"]
+    Xte_d, yte = prep["Xte"], prep["yte"]
 
     init, apply_fn = get_model(name)
     opt = make_optimizer("adam", lr, rep.momentum)
@@ -302,7 +362,6 @@ def train_config_bucket(
     else:
         sched = state_in["sched"]
 
-    Xb, yb, _ = make_batches(X_train, ytr, rep.batchsize, False)
     hps_d = jnp.asarray(hps)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -314,28 +373,10 @@ def train_config_bucket(
                 f"lanes={K} (configs x seeds) must divide the mesh "
                 f"{seed_ax!r} axis ({n_dev})")
         lane_sh = NamedSharding(mesh, P(seed_ax))
-        if "batch" in mesh.axis_names:
-            b_dev = mesh.shape["batch"]
-            if rep.batchsize % b_dev:
-                raise ValueError(
-                    f"batchsize={rep.batchsize} must divide the mesh "
-                    f"'batch' axis ({b_dev})")
-            x_sh = NamedSharding(mesh, P(None, None, "batch"))
-            y_sh = NamedSharding(mesh, P(None, "batch"))
-            xv_sh = (NamedSharding(mesh, P(None, "batch"))
-                     if Xv.shape[1] % b_dev == 0
-                     else NamedSharding(mesh, P()))
-        else:
-            x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
         params = jax.device_put(params, lane_sh)
         opt_state = jax.device_put(opt_state, lane_sh)
         hps_d = jax.device_put(hps_d, NamedSharding(
             mesh, P(seed_ax, None)))
-        Xb, yb = jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh)
-        Xv_d = jax.device_put(Xv, xv_sh)
-    else:
-        Xb, yb = jax.device_put(Xb), jax.device_put(yb)
-        Xv_d = jax.device_put(Xv)
 
     if state_in is None:
         best = jnp.full((K,), -jnp.inf if valid_metric == "accuracy"
@@ -353,9 +394,6 @@ def train_config_bucket(
         best = jax.device_put(best, lane_sh)
         has_best = jax.device_put(has_best, lane_sh)
         sched = {k: jax.device_put(v, lane_sh) for k, v in sched.items()}
-        yv_d = jax.device_put(yv, NamedSharding(mesh, P()))
-    else:
-        yv_d = jax.device_put(yv)
     key = jax.random.fold_in(base, key_salt)
 
     # whole CHUNKS of epochs run as one device program (train + eval +
@@ -385,7 +423,7 @@ def train_config_bucket(
     # lanes that never recorded a best (possible only with 0 epochs or
     # right after a recycle) fall back to their live params
     eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
-    preds = np.asarray(program.predict(eval_stack, Xte))
+    preds = np.asarray(program.predict(eval_stack, Xte_d))
     best_h = np.asarray(best)
     results = []
     for k in range(K):
@@ -622,6 +660,9 @@ def train_evolving_search(
               else (lambda a, b: a < b))
 
     data = (X_train, y_train, X_valid, y_valid, X_test, y_test)
+    # upload the dataset ONCE for all rungs (re-uploading per rung
+    # dominated the steady rung wall through the TPU tunnel)
+    prep = prepare_bucket_data(*data, rep, seed=seed, mesh=mesh)
     K = n_configs * seeds_per_config
     state = None
     start_rung = 0
@@ -648,7 +689,7 @@ def train_evolving_search(
             threshold_mode=threshold_mode, valid_metric=valid_metric,
             mesh=mesh, state_in=state, return_state=True,
             key_salt=777 + rung, epoch_offset=rung * rep.num_epochs,
-            program=program)
+            program=program, prep=prep)
         state = out["state"]
         cfg_snapshot = [c.to_dict() for c in cfgs]
 
