@@ -134,6 +134,9 @@ def make_autosnapshot(out, tag, cfg, every):
         save_checkpoint(f"{out}/ckpt_auto_{tag}", params,
                         opt_state=opt_state, step=epoch + 1, config=meta)
 
+    # declared cadence: lets the chunked trainer loop align its chunk
+    # boundaries to the checkpoint epochs (trainers._loop_chunked)
+    snap.every = every
     return snap
 
 

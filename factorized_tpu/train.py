@@ -264,6 +264,91 @@ def make_optimizer(name: str, lr: float = None, momentum: float = 0.9):
 
 # ------------------------------------------------------ epoch machinery
 
+# Epochs per device dispatch in the single-seed trainer loop when no
+# checkpoint cadence dictates the boundary (see trainers._loop). The
+# per-epoch host loop cost ~594ms/epoch through the TPU tunnel (4+
+# dispatch round-trips per epoch: epoch, eval, tracked-loss pull,
+# best-params pull) vs ~51ms of actual epoch compute — chunking moves
+# the round-trip to once per chunk, like parallel/multiseed.py does for
+# the search loop.
+DEFAULT_EPOCH_CHUNK = 10
+
+
+def _compile_chunked_loop(epoch_fn, step_fn, eval_fn, *, mode="min",
+                          save_always=False, with_rem=False, sched_kw=()):
+    """Jitted multi-epoch program for the single-seed trainer loop:
+    ``lax.scan`` over ``n_epochs`` (static) iterations of [train epoch
+    -> full-set eval -> best-params select -> plateau scheduler step],
+    everything on device.
+
+    Semantics mirror ``trainers._loop`` exactly:
+    - PRNG chain: one 3-way split per epoch; the epoch key feeds the
+      same per-batch split as ``TrainProgram.epoch``; the remainder
+      batch folds in ``nb`` like ``TrainProgram.run_epoch``;
+    - best-keeper: ``<=`` (min) / ``>=`` (max) against the incumbent,
+      exactly :class:`utils.checkpoint.BestKeeper`; ``save_always``
+      keeps every healthy epoch (the beta-VAE ``if True:`` save,
+      ``mfm_mosi.py:342``);
+    - scheduler: :func:`utils.scheduler.plateau_step` on a 1-lane
+      state, the functional twin of the host ``ReduceLROnPlateau``;
+    - divergence: a non-finite train or valid loss latches ``alive``
+      off — no further keeper/scheduler updates happen, matching the
+      host loop's break-before-update (the host side truncates the
+      chunk's history at the first dead epoch).
+
+    ``eval_fn(params, x, y, key)`` must return a scalar; pass the
+    accuracy closure (mode='max') for the acc-maximizing trainer.
+
+    Returns ``run(params, opt_state, best_p, best_v, sched, alive,
+    Xb, yb, rem_x, rem_y, Xv, yv, key, n_epochs)`` -> advanced carry +
+    stacked per-epoch (tracked, valid, lr, saved, ok).
+    """
+    from factorized_tpu.utils.scheduler import plateau_step
+
+    sched_kw = dict(sched_kw)
+
+    def run(params, opt_state, best_p, best_v, sched, alive,
+            Xb, yb, rem_x, rem_y, Xv, yv, key, n_epochs):
+        nb = Xb.shape[0]
+
+        def body(carry, _):
+            params, opt_state, best_p, best_v, sched, alive, key = carry
+            key, ek, vk = jax.random.split(key, 3)
+            lr = sched["lr"][0]
+            params, opt_state, acc = epoch_fn(params, opt_state, Xb, yb,
+                                              ek, lr)
+            if with_rem:
+                rkey = jax.random.fold_in(ek, nb)
+                params, opt_state, r_tracked = step_fn(
+                    params, opt_state, rem_x, rem_y, rkey, lr)
+                # reference sums nb+1 batches, divides by nb
+                # (mfm_moud.py:314,342)
+                acc = acc + r_tracked / nb
+            valid = eval_fn(params, Xv, yv, vk)
+            ok = alive & jnp.isfinite(acc) & jnp.isfinite(valid)
+            if mode == "min":
+                better = ok & (valid <= best_v)
+            else:
+                better = ok & (valid >= best_v)
+            take = ok if save_always else better
+            best_v = jnp.where(take, valid, best_v)
+            best_p = jax.tree.map(
+                lambda n, o: jnp.where(take, n, o), params, best_p)
+            new_sched = plateau_step(sched, valid.reshape(1), **sched_kw)
+            sched = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_sched, sched)
+            return ((params, opt_state, best_p, best_v, sched, ok, key),
+                    (acc, valid, sched["lr"][0], take, ok))
+
+        carry, ys = jax.lax.scan(
+            body, (params, opt_state, best_p, best_v, sched, alive, key),
+            None, length=n_epochs)
+        return carry + ys
+
+    return jax.jit(run, static_argnums=(13,),
+                   donate_argnums=(0, 1, 2, 3, 4))
+
+
 class TrainProgram:
     """Compiled training/eval programs for one (model, cfg, variant).
 
@@ -310,6 +395,25 @@ class TrainProgram:
         self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
         self.step = jax.jit(step, donate_argnums=(0, 1))
         self.evaluate = jax.jit(eval_fn)
+        # unjitted closures, inlined into the chunked multi-epoch program
+        self._raw = (epoch, step, eval_fn)
+        self._chunk_cache = {}
+
+    def chunked_loop(self, *, eval_device=None, mode="min",
+                     save_always=False, with_rem=False, sched_kw=()):
+        """Cached jitted multi-epoch chunk program (see
+        :func:`_compile_chunked_loop`). ``eval_device`` overrides the
+        program's eval (the acc-maximizing trainer's accuracy metric);
+        at most one override per program instance is cached."""
+        epoch, step, eval_fn = self._raw
+        key = (eval_device is not None, mode, save_always, with_rem,
+               tuple(sorted(dict(sched_kw).items())))
+        if key not in self._chunk_cache:
+            self._chunk_cache[key] = _compile_chunked_loop(
+                epoch, step, eval_device or eval_fn, mode=mode,
+                save_always=save_always, with_rem=with_rem,
+                sched_kw=sched_kw)
+        return self._chunk_cache[key]
 
     def run_epoch(self, params, opt_state, Xb, yb, key, lr,
                   remainder=None):

@@ -80,17 +80,155 @@ def _loop(
     save_always=False,
     eval_metric=None,
     snapshot=None,
+    eval_device=None,
 ):
-    """The per-epoch host loop: jitted epoch -> full-set eval -> RLROP ->
+    """The trainer epoch loop: train epoch -> full-set eval -> RLROP ->
     best-valid checkpointing — the shape of every reference trainer
     (``mfm_mosi.py:467-479``) — plus divergence detection (NaN/inf
     losses abort the run and are recorded; the reference would silently
     checkpoint garbage).
 
-    ``snapshot``: optional crash-resume hook called after every healthy
-    epoch as ``snapshot(epoch, params, opt_state, lr, best_valid)``;
-    the callback decides its own cadence (see
-    ``cli.make_autosnapshot`` / ``--ckpt-every``)."""
+    Runs CHUNKS of epochs as one device program by default (eval,
+    scheduler and best-select all in-scan; see
+    ``train._compile_chunked_loop`` — the per-epoch host round-trip
+    cost ~590ms/epoch through the TPU tunnel vs ~50ms of compute).
+    Falls back to the per-epoch host loop when a host-only
+    ``eval_metric`` has no ``eval_device`` twin, when a ``snapshot``
+    callback has no declared cadence (``.every``), or when
+    ``FACTORIZED_TPU_HOST_LOOP=1`` (the A/B switch; chunked-vs-host
+    parity is asserted in tests/test_chunked_loop.py).
+
+    ``snapshot``: optional crash-resume hook called as
+    ``snapshot(epoch, params, opt_state, lr, best_valid)``; the
+    callback decides its own cadence (see ``cli.make_autosnapshot`` /
+    ``--ckpt-every``) and declares it via a ``.every`` attribute so
+    chunk boundaries can align to it."""
+    import os
+
+    if num_epochs <= 0:
+        return params, opt_state, []
+    chunkable = (
+        os.environ.get("FACTORIZED_TPU_HOST_LOOP", "") != "1"
+        and (eval_metric is None or eval_device is not None)
+        and (snapshot is None or getattr(snapshot, "every", None))
+    )
+    if chunkable:
+        return _loop_chunked(program, params, opt_state, Xb, yb, remainder,
+                             Xv, yv, num_epochs, scheduler, keeper, logger,
+                             key, save_always, eval_device, snapshot)
+    return _loop_host(program, params, opt_state, Xb, yb, remainder, Xv, yv,
+                      num_epochs, scheduler, keeper, logger, key,
+                      save_always, eval_metric, snapshot)
+
+
+def _loop_chunked(program, params, opt_state, Xb, yb, remainder, Xv, yv,
+                  num_epochs, scheduler, keeper, logger, key,
+                  save_always, eval_device, snapshot):
+    """Chunked twin of :func:`_loop_host`: same key chain, keeper,
+    scheduler and divergence semantics, one dispatch per chunk."""
+    from factorized_tpu.train import DEFAULT_EPOCH_CHUNK
+
+    with_rem = remainder is not None and remainder[0].shape[1] > 0
+    sched_kw = {"mode": scheduler.mode, "factor": scheduler.factor,
+                "patience": scheduler.patience,
+                "threshold": scheduler.threshold,
+                "cooldown": scheduler.cooldown, "min_lr": scheduler.min_lr}
+    run = program.chunked_loop(eval_device=eval_device, mode=keeper.mode,
+                               save_always=save_always, with_rem=with_rem,
+                               sched_kw=sched_kw)
+    Xb, yb = jax.device_put(Xb), jax.device_put(yb)
+    Xv, yv = jax.device_put(Xv), jax.device_put(yv)
+    rem_x = jax.device_put(remainder[0]) if with_rem else None
+    rem_y = jax.device_put(remainder[1]) if with_rem else None
+    # mirror the live host scheduler/keeper state onto the device
+    sched = {"lr": jnp.asarray([scheduler.lr], jnp.float32),
+             "best": jnp.asarray([scheduler.best], jnp.float32),
+             "bad": jnp.asarray([scheduler.num_bad_epochs], jnp.int32),
+             "cooldown": jnp.asarray([scheduler.cooldown_counter], jnp.int32)}
+    best_v = jnp.asarray(keeper.best, jnp.float32)
+    best_p = (jax.device_put(keeper.best_params)
+              if keeper.best_params is not None
+              else jax.tree.map(jnp.zeros_like, params))
+    alive = jnp.asarray(True)
+
+    every = getattr(snapshot, "every", None) if snapshot else None
+    offset = getattr(snapshot, "offset", 0) if snapshot else 0
+    # boundaries anchored at ABSOLUTE epoch 0 and aligned to the
+    # snapshot cadence, so a resumed run re-enters on a boundary and
+    # reproduces the uninterrupted run's programs exactly.
+    # FACTORIZED_TPU_EPOCH_CHUNK overrides the default chunk size
+    # (tests use a small value so multi-chunk carry threading is
+    # exercised with a single compiled chunk shape).
+    import os as _os
+
+    env_chunk = int(_os.environ.get("FACTORIZED_TPU_EPOCH_CHUNK", 0))
+    chunk = int(every) if every else (
+        env_chunk or min(num_epochs, DEFAULT_EPOCH_CHUNK) or 1)
+    history = []
+    any_saved = keeper.best_params is not None
+    diverged = False
+    e = 0
+    while e < num_epochs and not diverged:
+        n = min(chunk - (offset + e) % chunk, num_epochs - e)
+        (params, opt_state, best_p, best_v, sched, alive, key,
+         trackeds, valids, lrs, saveds, oks) = run(
+            params, opt_state, best_p, best_v, sched, alive,
+            Xb, yb, rem_x, rem_y, Xv, yv, key, n)
+        trackeds, valids = np.asarray(trackeds), np.asarray(valids)
+        lrs, saveds, oks = np.asarray(lrs), np.asarray(saveds), np.asarray(oks)
+        for j in range(n):
+            ep = e + j
+            tl, vl = float(trackeds[j]), float(valids[j])
+            if not oks[j]:
+                logger.text(ep, tl, vl, "DIVERGED - aborting run")
+                logger.record("diverged", epoch=ep, train_loss=tl,
+                              valid_loss=vl)
+                history.append({"epoch": ep, "train_loss": tl, "valid": vl,
+                                "diverged": True})
+                diverged = True
+                break
+            saved = bool(saveds[j])
+            if saved:
+                any_saved = True
+                keeper.best_epoch = ep
+            logger.epoch(ep, tl, vl, saved, lr=float(lrs[j]))
+            history.append({"epoch": ep, "train_loss": tl, "valid": vl,
+                            "lr": float(lrs[j])})
+        e += n
+        if not diverged and snapshot is not None:
+            cur_best = float(best_v) if any_saved else keeper.best
+            snapshot(e - 1, params, opt_state, float(sched["lr"][0]),
+                     cur_best)
+    if any_saved:
+        keeper.best = float(best_v)
+        keeper.best_params = jax.tree.map(np.asarray, best_p)
+    scheduler.lr = float(sched["lr"][0])
+    scheduler.best = float(sched["best"][0])
+    scheduler.num_bad_epochs = int(sched["bad"][0])
+    scheduler.cooldown_counter = int(sched["cooldown"][0])
+    return params, opt_state, history
+
+
+def _loop_host(
+    program,
+    params,
+    opt_state,
+    Xb,
+    yb,
+    remainder,
+    Xv,
+    yv,
+    num_epochs,
+    scheduler,
+    keeper,
+    logger,
+    key,
+    save_always=False,
+    eval_metric=None,
+    snapshot=None,
+):
+    """The original per-epoch host loop (one epoch dispatch + one eval
+    dispatch + host scheduler/keeper per epoch)."""
     history = []
     lr = scheduler.lr
     # device-resident epoch tensors: uploaded once, reused every epoch
@@ -132,10 +270,19 @@ def _loop(
 
 def _offset_snapshot(snapshot, start_epoch):
     """Shift a snapshot callback's epoch numbering by the resume
-    offset so recorded steps stay absolute across resumes."""
+    offset so recorded steps stay absolute across resumes. The
+    cadence declaration (``.every``) is propagated and the offset
+    recorded (``.offset``) so the chunked loop can align its chunk
+    boundaries to ABSOLUTE epochs (see :func:`_loop_chunked`)."""
     if snapshot is None or not start_epoch:
         return snapshot
-    return lambda e, *a: snapshot(start_epoch + e, *a)
+
+    def shifted(e, *a):
+        return snapshot(start_epoch + e, *a)
+
+    shifted.every = getattr(snapshot, "every", None)
+    shifted.offset = start_epoch
+    return shifted
 
 
 def _score(logger, y_hat, y_test, cfg, binary_threshold, threshold_mode):
@@ -623,12 +770,20 @@ def train_mfm_acc(
         logits = np.asarray(predict(params, x, key))
         return accuracy(np.asarray(y), np.argmax(logits, axis=1))
 
+    def eval_accuracy_device(params, x, y, key):
+        # jit-safe twin of eval_accuracy for the chunked loop: same
+        # argmax tie-breaking (first max index) as np.argmax
+        decoded, _, _ = apply_fn(params, x, cfg, key=key, train=False)
+        hit = jnp.argmax(decoded[3], axis=1) == y
+        return hit.mean().astype(jnp.float32)
+
     scheduler = ReduceLROnPlateau(resume_lr or lr)
     keeper = _resume_keeper(BestKeeper("max"), resume_best, params)
     params, opt_state, history = _loop(
         program, params, opt_state, Xb, yb, rem, Xv, yv_l,
         max(cfg.num_epochs - start_epoch, 0), scheduler, keeper, logger,
         jax.random.fold_in(key, start_epoch), eval_metric=eval_accuracy,
+        eval_device=eval_accuracy_device,
         snapshot=_offset_snapshot(snapshot, start_epoch),
     )
     best_params = keeper.best_params if keeper.best_params is not None else params

@@ -90,12 +90,23 @@ class ReduceLROnPlateau:
         self.cooldown_counter = 0
 
     def _is_better(self, current: float) -> bool:
+        # f32 arithmetic, in plateau_step's exact op order, so the host
+        # class and the on-device scheduler stay BITWISE interchangeable
+        # (the chunked trainer loop runs plateau_step; the host loop is
+        # its A/B fallback — tests/test_chunked_loop.py)
+        import numpy as np
+
+        cur = np.float32(current)
         if self.mode == "min":
-            return current < self.best * (1.0 - self.threshold)
-        return current > self.best * (1.0 + self.threshold)
+            return bool(cur < np.float32(self.best)
+                        * np.float32(1.0 - self.threshold))
+        return bool(cur > np.float32(self.best)
+                    * np.float32(1.0 + self.threshold))
 
     def step(self, metric: float) -> float:
         """Feed this epoch's metric; returns the (possibly reduced) lr."""
+        import numpy as np
+
         if self._is_better(metric):
             self.best = metric
             self.num_bad_epochs = 0
@@ -105,7 +116,10 @@ class ReduceLROnPlateau:
             self.cooldown_counter -= 1
             self.num_bad_epochs = 0
         if self.num_bad_epochs > self.patience:
-            self.lr = max(self.lr * self.factor, self.min_lr)
+            # f32 multiply-then-max, matching plateau_step bitwise
+            self.lr = float(np.maximum(
+                np.float32(self.lr) * np.float32(self.factor),
+                np.float32(self.min_lr)))
             self.cooldown_counter = self.cooldown
             self.num_bad_epochs = 0
         return self.lr

@@ -99,7 +99,12 @@ class TestScheduler:
         for v in vals:
             sch.step(v)
             lr = ours.step(v)
-            assert abs(opt.param_groups[0]["lr"] - lr) < 1e-12
+            # f32-level agreement: our host class does its lr math in
+            # f32 to stay BITWISE interchangeable with the on-device
+            # plateau_step (the production path consumes lr in f32, so
+            # sub-f32 agreement with torch's f64 reduction is moot)
+            assert np.isclose(opt.param_groups[0]["lr"], lr, rtol=1e-6,
+                              atol=0.0)
 
     def test_device_plateau_matches_host_class(self):
         """The jit-safe vectorized plateau (plateau_init/plateau_step —

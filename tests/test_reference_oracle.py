@@ -649,3 +649,98 @@ def test_basic_missing_matches_reference(det_mmd):
     close(o_noa, t_noa, what="basic_missing.y_hat_noa")
     close(o_nov, t_nov, what="basic_missing.y_hat_nov")
     close(o_mmd, t_mmd, what="basic_missing deterministic MMD term")
+
+
+# ============================================== training-dynamics oracle
+
+
+def test_training_dynamics_match_reference(det_mmd):
+    """Train the LITERAL reference MFM with torch Adam and our MFM with
+    the production TrainProgram step — same copied init weights, same
+    data order, dropout off, deterministic MMD — and assert the
+    per-step disc losses and post-training predictions agree to f32
+    tolerance.
+
+    This closes the last epistemic gap in the parity story: every
+    other training-parity claim (VALIDATION.md §2) compares against a
+    torch RE-IMPLEMENTATION; here the optimizer dynamics (grads, Adam
+    bias correction, lr application: mfm_mosi.py:403,419-443) run
+    through the reference's own forward/backward graph.
+    """
+    ref = det_mmd
+    cfg = small_cfg()
+    # dropout off on both sides: dynamics parity, not dropout parity
+    # (bitwise dropout-mask parity is covered by tests/test_pallas*)
+    cfg = cfg.replace(
+        zy_to_fy_dropout=0.0, zl_to_fl_dropout=0.0, za_to_fa_dropout=0.0,
+        zv_to_fv_dropout=0.0, fy_to_y_dropout=0.0, att1_drop=0.0,
+        att2_drop=0.0, gamma1_drop=0.0, gamma2_drop=0.0, out_drop=0.0,
+        lda_mmd=0.5, lda_xl=1.0, lda_xa=1.0, lda_xv=1.0,
+        task="regression", output_dim=1, batchsize=N,
+    )
+    params = mfm_init(jax.random.PRNGKey(3), cfg)
+    tmodel = ref["MFM"](*legacy_dicts(cfg))
+    copy_enc_trio(tmodel, params)
+    copy_dec_trio(tmodel, params)
+    copy_mfn(tmodel.mfn_encoder, params["mfn_enc"]["mfn"])
+    copy_linear(tmodel.last_to_zy_fc1, params["mfn_enc"]["last_to_zy"])
+    copy_zf_trio(tmodel, params)
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    rng = np.random.RandomState(42)
+    n_batches, n_steps = 4, 12  # 3 epochs x 4 batches
+    Xb = rng.randn(n_batches, T, N, cfg.d_total).astype(np.float32)
+    yb = rng.randn(n_batches, N).astype(np.float32)
+    x_hold = rng.randn(T, N, cfg.d_total).astype(np.float32)
+
+    # ---- ours: the production fused train step (train.TrainProgram)
+    from factorized_tpu.train import TrainProgram, make_optimizer
+
+    opt = make_optimizer("adam", 1e-3)
+    opt_state = opt.init(params)
+    program = TrainProgram(mfm_apply, cfg, "joint", opt)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    ours_disc = []
+    for s in range(n_steps):
+        b = s % n_batches
+        params, opt_state, tracked = program.step(
+            params, opt_state, jnp.asarray(Xb[b]), jnp.asarray(yb[b]),
+            jax.random.PRNGKey(s), lr)
+        ours_disc.append(float(tracked))
+
+    # ---- theirs: the reference model + torch Adam, loss composed as
+    # the reference trainer does (mfm_mosi.py:419-443: L1 disc + MSE
+    # gen terms + lda_mmd * mmd; torch default Adam lr=1e-3 at :403)
+    topt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
+    l1, mse = torch.nn.L1Loss(), torch.nn.MSELoss()
+    d_l, d_a, _ = cfg.input_dims
+    tmodel.train()
+    theirs_disc = []
+    for s in range(n_steps):
+        b = s % n_batches
+        x = torch.tensor(Xb[b])
+        y = torch.tensor(yb[b])
+        decoded, mmd, missing = tmodel.forward(x)
+        x_l_hat, x_a_hat, x_v_hat, y_hat = decoded
+        disc = l1(y_hat.squeeze(1), y)
+        gen = (cfg.lda_xl * mse(x_l_hat, x[:, :, :d_l])
+               + cfg.lda_xa * mse(x_a_hat, x[:, :, d_l:d_l + d_a])
+               + cfg.lda_xv * mse(x_v_hat, x[:, :, d_l + d_a:]))
+        loss = disc + gen + cfg.lda_mmd * mmd + missing
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        theirs_disc.append(float(disc))
+
+    np.testing.assert_allclose(ours_disc, theirs_disc, atol=5e-4,
+                               rtol=5e-4,
+                               err_msg="per-step disc loss trajectory")
+
+    # post-training predictions from the two trained models agree
+    tmodel.eval()
+    with torch.no_grad():
+        t_dec, _, _ = tmodel.forward(torch.tensor(x_hold))
+    o_dec, _, _ = mfm_apply(params, jnp.asarray(x_hold), cfg,
+                            key=jax.random.PRNGKey(0), train=False)
+    close(o_dec[3], t_dec[3], atol=2e-3, rtol=2e-3,
+          what="post-training y_hat")
