@@ -181,6 +181,15 @@ class ConfigBucketProgram:
             return jax.tree.map(sel, new, old)
 
         self.select = jax.jit(select)
+
+        def take_lane(tree, i):
+            # gather ONE lane of a stacked (K, ...) tree as a single
+            # program (vs one dispatch+sync per leaf — through the TPU
+            # tunnel per-leaf np.asarray pulls were the dominant fixed
+            # cost of a rung; see scripts/evolve_probe.py)
+            return jax.tree.map(lambda a: a[i], tree)
+
+        self.take_lane = jax.jit(take_lane)
         self._pieces = (epoch, eval_v, predict_v, select)
         self._run_cache = {}
 
@@ -281,6 +290,7 @@ def train_config_bucket(
     epoch_offset: int = 0,
     program: Optional["ConfigBucketProgram"] = None,
     prep: Optional[dict] = None,
+    params_on_device: bool = False,
 ):
     """Train a BUCKET of same-shape configs — K = len(cfgs) *
     seeds_per_config lanes — as one vmapped program.
@@ -444,7 +454,12 @@ def train_config_bucket(
     logger.record("final", per_lane=[r["metrics"] for r in results],
                   best_lane=pick,
                   best_config_index=results[pick]["config_index"])
-    pick_tree = jax.tree.map(lambda a: np.asarray(a[pick]), eval_stack)
+    # one lane-gather dispatch + (unless the caller keeps it on device)
+    # one BATCHED pull — per-leaf np.asarray(a[pick]) cost a tunnel
+    # round-trip per leaf and dominated the rung's fixed overhead
+    pick_tree = program.take_lane(eval_stack, pick)
+    if not params_on_device:
+        pick_tree = jax.device_get(pick_tree)
     out = {"results": results, "best_lane": pick,
            "best_params": pick_tree,
            "params": pick_tree, "history": history}
@@ -498,15 +513,24 @@ def recycle_lanes(state, lane_indices, *, cfg, init, opt, lrs_new,
             lambda a, f: a.at[lanes].set(f), state["opt_state"],
             fresh_opt)
     lrs_arr = jnp.asarray(np.asarray(lrs_new, np.float32))
-    sched = state["sched"]
-    state["sched"] = {"lr": sched["lr"].at[lanes].set(lrs_arr),
-                      "best": sched["best"].at[lanes].set(jnp.inf),
-                      "bad": sched["bad"].at[lanes].set(0),
-                      "cooldown": sched["cooldown"].at[lanes].set(0)}
-    state["best"] = state["best"].at[lanes].set(
-        -jnp.inf if valid_metric == "accuracy" else jnp.inf)
-    state["has_best"] = state["has_best"].at[lanes].set(False)
+    best_fill = jnp.asarray(
+        -jnp.inf if valid_metric == "accuracy" else jnp.inf, jnp.float32)
+    state["sched"], state["best"], state["has_best"] = _reset_books(
+        state["sched"], state["best"], state["has_best"], lanes, lrs_arr,
+        best_fill)
     return state
+
+
+@jax.jit
+def _reset_books(sched, best, has_best, lanes, lrs_arr, best_fill):
+    """Scheduler/best-keeper lane resets as ONE dispatched program (six
+    eager ``.at[].set`` ops each cost a tunnel dispatch per rung)."""
+    sched = {"lr": sched["lr"].at[lanes].set(lrs_arr),
+             "best": sched["best"].at[lanes].set(jnp.inf),
+             "bad": sched["bad"].at[lanes].set(0),
+             "cooldown": sched["cooldown"].at[lanes].set(0)}
+    return (sched, best.at[lanes].set(best_fill),
+            has_best.at[lanes].set(False))
 
 
 def _rng_to_json(st):
@@ -531,9 +555,12 @@ def _evolve_snapshot(path, template, state, cfgs, rung_next, rng,
     ``mfm_mosi.py:1302-1369``)."""
     from factorized_tpu.utils.checkpoint import save_checkpoint
 
-    tree = {"live": jax.tree.map(np.asarray, state["params"]),
-            "best": jax.tree.map(np.asarray, state["best_stack"]),
-            "overall": jax.tree.map(np.asarray, overall["params"])}
+    # ONE batched pull of all four trees (per-leaf np.asarray would
+    # serialize a tunnel round-trip per leaf)
+    live, best_stack, over, opt_host = jax.device_get(
+        (state["params"], state["best_stack"], overall["params"],
+         state["opt_state"]))
+    tree = {"live": live, "best": best_stack, "overall": over}
     sched_json = sched_to_dicts(state["sched"])
     meta = template.to_dict()
     meta["_ev"] = {
@@ -549,8 +576,7 @@ def _evolve_snapshot(path, template, state, cfgs, rung_next, rng,
                     for k in ("metrics", "best_valid", "config", "rung")},
         "rung_logs": rung_logs,
     }
-    save_checkpoint(path, tree,
-                    opt_state=jax.tree.map(np.asarray, state["opt_state"]),
+    save_checkpoint(path, tree, opt_state=opt_host,
                     step=rung_next, config=meta)
     logger.text(f"evolve snapshot -> {path} (next rung {rung_next})")
 
@@ -689,7 +715,7 @@ def train_evolving_search(
             threshold_mode=threshold_mode, valid_metric=valid_metric,
             mesh=mesh, state_in=state, return_state=True,
             key_salt=777 + rung, epoch_offset=rung * rep.num_epochs,
-            program=program, prep=prep)
+            program=program, prep=prep, params_on_device=True)
         state = out["state"]
         cfg_snapshot = [c.to_dict() for c in cfgs]
 
@@ -739,5 +765,8 @@ def train_evolving_search(
     logger.record("evolve_final", explored_configs=explored,
                   best_rung=overall["rung"], best_metrics=overall["metrics"],
                   best_config=overall["config"])
+    # the overall-best params lived on device across rungs (pulling a
+    # lane per rung was pure fixed cost); materialize ONCE at the end
+    overall["params"] = jax.device_get(overall["params"])
     return {"best": overall, "rungs": rung_logs,
             "explored_configs": explored, "params": overall["params"]}
