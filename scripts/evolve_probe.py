@@ -91,8 +91,9 @@ def main():
         "k": args.k, "rungs": args.rungs, "epochs_per_rung": args.epochs,
         "rung_walls_s": [round(w, 2) for w in walls],
         "steady_model_steps_per_s": round(sps, 1),
-        "recycle_overhead_s": round(float(np.mean(recycle_s)), 3)
-        if recycle_s else 0.0,
+        # first entry includes the recycle programs' compile; the
+        # steady-state cost is the tail
+        "recycle_s": [round(float(r), 3) for r in recycle_s],
         "explored_configs": res["explored_configs"],
         "trials_per_bucket_cost": round(res["explored_configs"] / args.k, 2),
         "backend": jax.default_backend(),
