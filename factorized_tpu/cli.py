@@ -207,7 +207,10 @@ def run_bucket_search(args, data, info, rng):
             bucket = [cfgs[i] for i in idxs]
             logger = RunLogger(args.out,
                                run_id=f"{args.dataset}_r{round_i}b{bi}")
-            logger.record("config", bucket=[c.to_dict() for c in bucket])
+            # one "config" record per trial so check's per-file run
+            # count mirrors the reference's `tot` counter
+            for c in bucket:
+                logger.record("config", **c.to_dict())
             kw = dict(logger=logger, seed=args.seed + round_i,
                       seeds_per_config=max(args.seeds, 1))
             # moud/you ride config lr (mfm_moud.py:466); mosi/mmmo the
@@ -255,7 +258,10 @@ def run_evolve_search(args, data, info, rng):
             template = template.replace(batchsize=args.batchsize)
         logger = RunLogger(args.out,
                            run_id=f"{args.dataset}_evolve{round_i}")
-        logger.record("config", evolve_rungs=args.evolve,
+        # "search_meta", not "config": check counts "config" records as
+        # trials (the reference's `tot`), and the evolving search logs
+        # one per EXPLORED config (parallel/multiconfig.py)
+        logger.record("search_meta", evolve_rungs=args.evolve,
                       cull_frac=args.cull_frac, n_configs=n,
                       template=template.to_dict())
         kw = dict(n_configs=n, rungs=args.evolve,

@@ -675,6 +675,11 @@ def train_evolving_search(
     rep = template
     cfgs = [template] + [resample_values(template, dataset, rng)
                          for _ in range(n_configs - 1)]
+    # one "config" record per EXPLORED trial — check's per-file run
+    # count then mirrors the reference's `tot` (one per sampled config,
+    # check.py:186-190)
+    for c in cfgs:
+        logger.record("config", **c.to_dict())
     name = rep.model_type if rep.model_type in MULTISEED_TYPES else "mfm"
     init, apply_fn = get_model(name)
     opt = make_optimizer("adam", lr, rep.momentum)
@@ -745,6 +750,7 @@ def train_evolving_search(
                     new_cfg = resample_values(template, dataset, rng)
                     cfgs[ci] = new_cfg
                     explored += 1
+                    logger.record("config", **new_cfg.to_dict())
                     for s in range(seeds_per_config):
                         lanes.append(int(ci) * seeds_per_config + s)
                         lrs_new.append(
