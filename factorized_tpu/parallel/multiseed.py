@@ -46,6 +46,13 @@ from factorized_tpu.utils.scheduler import plateau_init, plateau_step
 DEFAULT_EPOCH_CHUNK = 10
 
 
+@jax.jit
+def _take_lane(tree, i):
+    """Gather lane ``i`` of a stacked (K, ...) tree as ONE program
+    (``i`` is traced, so distinct picks share the compilation)."""
+    return jax.tree.map(lambda a: a[i], tree)
+
+
 def _compile_run_epochs(epoch_fn, eval_v, predict_v, select_fn,
                         valid_metric, with_hps):
     """Jitted multi-epoch program: ``lax.scan`` over ``n_epochs``
@@ -228,9 +235,11 @@ def _multiseed_snapshot(path, cfg, params, opt_state, best_stack, has_best,
     meta["_ms_lrs"] = [float(v) for v in np.asarray(sched["lr"])]
     meta["_ms_sched"] = sched_to_dicts(sched)
     best_out = select(jnp.asarray(has_best), best_stack, params)
-    state = {"live": jax.tree.map(np.asarray, params),
-             "best": jax.tree.map(np.asarray, best_out)}
-    save_checkpoint(path, state, opt_state=jax.tree.map(np.asarray, opt_state),
+    # ONE batched pull of all three trees (vs a blocking per-leaf
+    # np.asarray round-trip through the TPU tunnel)
+    live_h, best_h, opt_h = jax.device_get((params, best_out, opt_state))
+    state = {"live": live_h, "best": best_h}
+    save_checkpoint(path, state, opt_state=opt_h,
                     step=epoch + 1, config=meta)
 
 
@@ -440,7 +449,9 @@ def train_mfm_multiseed(
         range(n_seeds), key=lambda k: results[k]["metrics"][key_metric])
     logger.record("final", per_seed=[r["metrics"] for r in results],
                   best_seed=pick)
-    pick_tree = jax.tree.map(lambda a: np.asarray(a[pick]), eval_stack)
+    # one gather dispatch + one batched pull (per-leaf np.asarray costs
+    # a tunnel round-trip per pytree leaf)
+    pick_tree = jax.device_get(_take_lane(eval_stack, pick))
     # "params"/"step" mirror the single-seed trainers' return so the
     # CLI's --save-ckpt works on multiseed runs (best seed's params)
     return {"results": results, "best_seed": pick,
