@@ -98,6 +98,17 @@ def _seed_parallel_mesh(n_seeds):
     if n_dev > n_seeds and n_dev % n_seeds == 0:
         return make_mesh(n_dev, axes=("seed", "batch"),
                          shape=(n_seeds, n_dev // n_seeds))
+    if n_seeds % n_dev:
+        # lane counts are data-dependent (e.g. random shape buckets);
+        # shard over the largest device count that divides the lanes
+        # instead of letting the trainer's divisibility check abort a
+        # search round mid-way
+        d = max(k for k in range(1, min(n_seeds, n_dev) + 1)
+                if n_seeds % k == 0)
+        print(f"--seed-parallel: {n_seeds} lanes do not divide "
+              f"{n_dev} devices; using {d} device(s) for this program",
+              file=sys.stderr)
+        return make_mesh(d)
     return make_mesh()
 
 
@@ -297,6 +308,14 @@ def run_evolve_search(args, data, info, rng):
 
 
 def run_dataset(args):
+    if args.mode != "search" and (args.evolve or args.bucket):
+        # same loud-refusal policy as --resume/--seeds conflicts: the
+        # user asked for a search strategy that this mode would
+        # silently never run
+        flag = "--evolve" if args.evolve else "--bucket"
+        raise SystemExit(
+            f"{flag} only applies to --mode search (got --mode "
+            f"{args.mode}); add --mode search or drop {flag}")
     base = (MFMConfig.from_json(args.config) if args.config
             else MFMConfig(seqlength=20))
     data = load_dataset(args.dataset, base.seqlength, args.data_root,
@@ -405,6 +424,13 @@ def run_dataset(args):
 def run_mosi_acc(args):
     import numpy as np
 
+    if args.evolve or args.bucket:
+        flag = "--evolve" if args.evolve else "--bucket"
+        raise SystemExit(
+            f"{flag} is not wired to the mosi_acc surface; use the "
+            "dataset subcommands (e.g. `mosi --mode search "
+            f"{flag} ...`) or scripts/release_best.py --evolve for the "
+            "classification search")
     data = list(load_dataset("mosi", 20, args.data_root))
     # binarize labels (mfm_mosi_acc.py:505-508)
     for i in (1, 3, 5):

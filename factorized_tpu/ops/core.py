@@ -71,7 +71,10 @@ def dropout(key, x, rate, train: bool):
         return x * (mask.astype(x.dtype) * (1.0 / keep))
     keep = jnp.maximum(1.0 - rate, 1e-6)  # guard rate ~ 1.0
     mask = jax.random.bernoulli(key, keep, x.shape)
-    return x * (mask.astype(x.dtype) * (1.0 / keep).astype(x.dtype))
+    out = x * (mask.astype(x.dtype) * (1.0 / keep).astype(x.dtype))
+    # rate >= 1: zero like the static/torch path — bernoulli(1e-6) is
+    # not all-zero, and a rare survivor would be scaled by 1e6
+    return jnp.where(rate >= 1.0, jnp.zeros_like(out), out)
 
 
 def mlp2_init(key, d_in: int, d_hidden: int, d_out: int, dtype=jnp.float32):

@@ -37,7 +37,9 @@ from factorized_tpu.models import get_model
 from factorized_tpu.parallel.multiseed import (
     DEFAULT_EPOCH_CHUNK,
     MULTISEED_TYPES,
+    MultiSeedProgram,
     _compile_run_epochs,
+    _init_lane_programs,
     _Null,
     sched_from_dicts,
     sched_to_dicts,
@@ -121,7 +123,7 @@ class ConfigBucketProgram:
 
     def __init__(self, apply_fn, rep_cfg, optimizer, init_fn=None):
         self.rep_cfg = rep_cfg
-        eval_fn = make_eval_fn(apply_fn, rep_cfg, "joint")
+        self._eval_fn = make_eval_fn(apply_fn, rep_cfg, "joint")
 
         def loss_fn(params, x, y, key, hp):
             # rebuild the joint loss with this lane's traced values —
@@ -130,93 +132,10 @@ class ConfigBucketProgram:
             inner = make_loss_fn(apply_fn, lane_cfg(rep_cfg, hp), "joint")
             return inner(params, x, y, key)
 
-        def predict_fn(params, x):
-            out = apply_fn(params, x, rep_cfg, key=jax.random.PRNGKey(0),
-                           train=False)
-            y_hat = out[0][3]
-            return (jnp.squeeze(y_hat, 1) if rep_cfg.task == "regression"
-                    else y_hat)
+        _init_lane_programs(self, apply_fn, rep_cfg, optimizer, loss_fn,
+                            with_hps=True, init_fn=init_fn)
 
-        predict_v = jax.vmap(predict_fn, in_axes=(0, None))
-        self.predict = jax.jit(predict_v)
-        self.predict_one = jax.jit(predict_fn)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-        def lane_step(params, opt_state, x, y, key, lr, hp):
-            (_, tracked), grads = grad_fn(params, x, y, key, hp)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-            return params, opt_state, tracked
-
-        vstep = jax.vmap(lane_step, in_axes=(0, 0, None, None, 0, 0, 0))
-
-        def epoch(params, opt_state, Xb, yb, keys, lrs, hps):
-            nb = Xb.shape[0]
-            bkeys = jax.vmap(lambda k: jax.random.split(k, nb))(keys)
-
-            def body(carry, batch):
-                params, opt_state, acc = carry
-                x, y, ks = batch
-                params, opt_state, tracked = vstep(params, opt_state, x, y,
-                                                   ks, lrs, hps)
-                return (params, opt_state, acc + tracked), None
-
-            K = lrs.shape[0]
-            (params, opt_state, acc), _ = jax.lax.scan(
-                body, (params, opt_state, jnp.zeros((K,), jnp.float32)),
-                (Xb, yb, jnp.swapaxes(bkeys, 0, 1))
-            )
-            return params, opt_state, acc / nb
-
-        self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
-        eval_v = jax.vmap(eval_fn, in_axes=(0, None, None, 0))
-        self.evaluate = jax.jit(eval_v)
-
-        def select(mask, new, old):
-            # per-lane masked where over stacked (K, ...) trees
-            def sel(n, o):
-                m = mask.reshape((mask.shape[0],) + (1,) * (n.ndim - 1))
-                return jnp.where(m, n, o)
-
-            return jax.tree.map(sel, new, old)
-
-        self.select = jax.jit(select)
-
-        def take_lane(tree, i):
-            # gather ONE lane of a stacked (K, ...) tree as a single
-            # program (vs one dispatch+sync per leaf — through the TPU
-            # tunnel per-leaf np.asarray pulls were the dominant fixed
-            # cost of a rung; see scripts/evolve_probe.py)
-            return jax.tree.map(lambda a: a[i], tree)
-
-        self.take_lane = jax.jit(take_lane)
-        self._pieces = (epoch, eval_v, predict_v, select)
-        self._run_cache = {}
-
-        if init_fn is not None:
-            def recycle(params, opt_state, lanes, base):
-                keys = jax.vmap(
-                    lambda i: jax.random.fold_in(base, i))(lanes)
-                fresh = jax.vmap(lambda k: init_fn(k, rep_cfg))(keys)
-                fresh_opt = jax.vmap(optimizer.init)(fresh)
-
-                def set_(a, f):
-                    return a.at[lanes].set(f)
-
-                return (jax.tree.map(set_, params, fresh),
-                        jax.tree.map(set_, opt_state, fresh_opt))
-
-            self.recycle = jax.jit(recycle, donate_argnums=(0, 1))
-        else:
-            self.recycle = None
-
-    def run_epochs(self, valid_metric: str):
-        """Cached jitted multi-epoch chunk program with per-lane traced
-        hyperparameters (see ``multiseed._compile_run_epochs``)."""
-        if valid_metric not in self._run_cache:
-            self._run_cache[valid_metric] = _compile_run_epochs(
-                *self._pieces, valid_metric, with_hps=True)
-        return self._run_cache[valid_metric]
+    run_epochs = MultiSeedProgram.run_epochs
 
 
 def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
@@ -327,11 +246,11 @@ def train_config_bucket(
             f"train_config_bucket got {len(sigs)} distinct shape "
             "signatures; bucket configs with bucket_configs() first")
     rep = cfgs[0]
-    name = rep.model_type if rep.model_type in MULTISEED_TYPES else "mfm"
-    if rep.model_type not in MULTISEED_TYPES and rep.model_type != "mfm":
+    if rep.model_type not in MULTISEED_TYPES:
         raise ValueError(
             f"config-bucketed search supports model types "
             f"{MULTISEED_TYPES}; got {rep.model_type!r}")
+    name = rep.model_type
     K = len(cfgs) * seeds_per_config
 
     if prep is None:
@@ -675,13 +594,11 @@ def train_evolving_search(
     rep = template
     cfgs = [template] + [resample_values(template, dataset, rng)
                          for _ in range(n_configs - 1)]
-    # one "config" record per EXPLORED trial — check's per-file run
-    # count then mirrors the reference's `tot` (one per sampled config,
-    # check.py:186-190)
-    for c in cfgs:
-        logger.record("config", **c.to_dict())
-    name = rep.model_type if rep.model_type in MULTISEED_TYPES else "mfm"
-    init, apply_fn = get_model(name)
+    if rep.model_type not in MULTISEED_TYPES:
+        raise ValueError(
+            f"the evolving search supports model types "
+            f"{MULTISEED_TYPES}; got {rep.model_type!r}")
+    init, apply_fn = get_model(rep.model_type)
     opt = make_optimizer("adam", lr, rep.momentum)
     # ONE compiled program for all rungs: value swaps never recompile
     program = program or ConfigBucketProgram(apply_fn, rep, opt,
@@ -712,6 +629,14 @@ def train_evolving_search(
                 f"checkpoint at {resume_from} already completed "
                 f"{start_rung} rungs; this run asks for {rungs} — "
                 "raise --evolve to continue the search")
+    else:
+        # one "config" record per EXPLORED trial — check's per-file run
+        # count then mirrors the reference's `tot` (one per sampled
+        # config, check.py:186-190). On resume the initial draws were
+        # already counted by the original run's log, so only fresh
+        # recycle draws are recorded below.
+        for c in cfgs:
+            logger.record("config", **c.to_dict())
     for rung in range(start_rung, rungs):
         out = train_config_bucket(
             *data, list(cfgs), seeds_per_config=seeds_per_config, lr=lr,

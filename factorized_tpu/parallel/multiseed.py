@@ -25,6 +25,7 @@ import numpy as np
 from factorized_tpu.models import get_model
 from factorized_tpu.models.registry import MODELS
 from factorized_tpu.train import (
+    DEFAULT_EPOCH_CHUNK,  # one chunk constant for all chunked loops
     make_batches,
     make_eval_fn,
     make_loss_fn,
@@ -38,12 +39,6 @@ from factorized_tpu.utils.metrics import (
 )
 from factorized_tpu.utils.scheduler import plateau_init, plateau_step
 
-# Epochs per device dispatch when no checkpoint cadence dictates the
-# boundary: the whole chunk (train epochs + evals + scheduler steps +
-# best-select) runs as ONE lax.scan program, so the host round-trip —
-# which dominated the search loop through the TPU tunnel (see
-# scripts/evolve_probe.py) — is paid once per chunk, not per epoch.
-DEFAULT_EPOCH_CHUNK = 10
 
 
 @jax.jit
@@ -51,6 +46,104 @@ def _take_lane(tree, i):
     """Gather lane ``i`` of a stacked (K, ...) tree as ONE program
     (``i`` is traced, so distinct picks share the compilation)."""
     return jax.tree.map(lambda a: a[i], tree)
+
+
+def _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
+                        with_hps, init_fn=None):
+    """Build the jitted K-lane program set shared by
+    :class:`MultiSeedProgram` and ``multiconfig.ConfigBucketProgram``
+    (they differ only in whether each lane threads a traced
+    hyperparameter vector through the loss): ``epoch`` / ``evaluate`` /
+    ``predict`` / ``select`` / ``take_lane`` / optional ``recycle``,
+    set as attributes on ``self``."""
+
+    def predict_fn(params, x):
+        out = apply_fn(params, x, cfg, key=jax.random.PRNGKey(0),
+                       train=False)
+        y_hat = out[0][3]
+        return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
+                else y_hat)
+
+    predict_v = jax.vmap(predict_fn, in_axes=(0, None))
+    self.predict = jax.jit(predict_v)
+    self.predict_one = jax.jit(predict_fn)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def lane_step(params, opt_state, x, y, key, lr, *hp):
+        (_, tracked), grads = grad_fn(params, x, y, key, *hp)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        return params, opt_state, tracked
+
+    vstep = jax.vmap(lane_step,
+                     in_axes=(0, 0, None, None, 0, 0) +
+                             ((0,) if with_hps else ()))
+
+    def epoch_scan(params, opt_state, Xb, yb, keys, lrs, hp):
+        nb = Xb.shape[0]
+        # distinct key per (batch, lane)
+        bkeys = jax.vmap(lambda k: jax.random.split(k, nb))(keys)
+
+        def body(carry, batch):
+            params, opt_state, acc = carry
+            x, y, ks = batch
+            params, opt_state, tracked = vstep(params, opt_state, x, y,
+                                               ks, lrs, *hp)
+            return (params, opt_state, acc + tracked), None
+
+        K = lrs.shape[0]
+        (params, opt_state, acc), _ = jax.lax.scan(
+            body, (params, opt_state, jnp.zeros((K,), jnp.float32)),
+            (Xb, yb, jnp.swapaxes(bkeys, 0, 1))
+        )
+        return params, opt_state, acc / nb
+
+    if with_hps:
+        def epoch(params, opt_state, Xb, yb, keys, lrs, hps):
+            return epoch_scan(params, opt_state, Xb, yb, keys, lrs,
+                              (hps,))
+    else:
+        def epoch(params, opt_state, Xb, yb, keys, lrs):
+            return epoch_scan(params, opt_state, Xb, yb, keys, lrs, ())
+
+    self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
+    eval_v = jax.vmap(self._eval_fn, in_axes=(0, None, None, 0))
+    self.evaluate = jax.jit(eval_v)
+
+    def select(mask, new, old):
+        # per-lane masked where over stacked (K, ...) trees — keeps
+        # the best-params record ON DEVICE (one dispatch per epoch
+        # instead of K per-lane host pulls; the pulls were measured
+        # at tens of seconds of pure dispatch latency through the
+        # TPU tunnel, scripts/evolve_probe.py)
+        def sel(n, o):
+            m = mask.reshape((mask.shape[0],) + (1,) * (n.ndim - 1))
+            return jnp.where(m, n, o)
+
+        return jax.tree.map(sel, new, old)
+
+    self.select = jax.jit(select)
+    self.take_lane = _take_lane
+    self._pieces = (epoch, eval_v, predict_v, select)
+    self._with_hps = with_hps
+    self._run_cache = {}
+
+    if init_fn is not None:
+        def recycle(params, opt_state, lanes, base):
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(base, i))(lanes)
+            fresh = jax.vmap(lambda k: init_fn(k, cfg))(keys)
+            fresh_opt = jax.vmap(optimizer.init)(fresh)
+
+            def set_(a, f):
+                return a.at[lanes].set(f)
+
+            return (jax.tree.map(set_, params, fresh),
+                    jax.tree.map(set_, opt_state, fresh_opt))
+
+        self.recycle = jax.jit(recycle, donate_argnums=(0, 1))
+    else:
+        self.recycle = None
 
 
 def _compile_run_epochs(epoch_fn, eval_v, predict_v, select_fn,
@@ -111,77 +204,23 @@ def _compile_run_epochs(epoch_fn, eval_v, predict_v, select_fn,
 
 
 class MultiSeedProgram:
-    """Compiled K-seed epoch/eval/predict programs."""
+    """Compiled K-seed epoch/eval/predict programs (all lanes share one
+    static config; see ``multiconfig.ConfigBucketProgram`` for the
+    per-lane-hyperparameter twin — both are built by
+    :func:`_init_lane_programs`)."""
 
     def __init__(self, apply_fn, cfg, optimizer, variant="joint"):
         loss_fn = make_loss_fn(apply_fn, cfg, variant)
-        eval_fn = make_eval_fn(apply_fn, cfg, variant)
-
-        def predict_fn(params, x):
-            out = apply_fn(params, x, cfg, key=jax.random.PRNGKey(0),
-                           train=False)
-            y_hat = out[0][3]
-            return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
-                    else y_hat)
-
-        predict_v = jax.vmap(predict_fn, in_axes=(0, None))
-        self.predict = jax.jit(predict_v)
-        self.predict_one = jax.jit(predict_fn)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-        def seed_step(params, opt_state, x, y, key, lr):
-            (_, tracked), grads = grad_fn(params, x, y, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-            return params, opt_state, tracked
-
-        vstep = jax.vmap(seed_step, in_axes=(0, 0, None, None, 0, 0))
-
-        def epoch(params, opt_state, Xb, yb, keys, lrs):
-            nb = Xb.shape[0]
-            # distinct key per (batch, seed)
-            bkeys = jax.vmap(lambda k: jax.random.split(k, nb))(keys)
-
-            def body(carry, batch):
-                params, opt_state, acc = carry
-                x, y, ks = batch
-                params, opt_state, tracked = vstep(params, opt_state, x, y,
-                                                   ks, lrs)
-                return (params, opt_state, acc + tracked), None
-
-            K = lrs.shape[0]
-            (params, opt_state, acc), _ = jax.lax.scan(
-                body, (params, opt_state, jnp.zeros((K,), jnp.float32)),
-                (Xb, yb, jnp.swapaxes(bkeys, 0, 1))
-            )
-            return params, opt_state, acc / nb
-
-        self.epoch = jax.jit(epoch, donate_argnums=(0, 1))
-        eval_v = jax.vmap(eval_fn, in_axes=(0, None, None, 0))
-        self.evaluate = jax.jit(eval_v)
-
-        def select(mask, new, old):
-            # per-seed masked where over stacked (K, ...) trees — keeps
-            # the best-params record ON DEVICE (one dispatch per epoch
-            # instead of per-seed host pulls; the pulls were measured at
-            # tens of seconds of pure dispatch latency through the TPU
-            # tunnel, scripts/evolve_probe.py)
-            def sel(n, o):
-                m = mask.reshape((mask.shape[0],) + (1,) * (n.ndim - 1))
-                return jnp.where(m, n, o)
-
-            return jax.tree.map(sel, new, old)
-
-        self.select = jax.jit(select)
-        self._pieces = (epoch, eval_v, predict_v, select)
-        self._run_cache = {}
+        self._eval_fn = make_eval_fn(apply_fn, cfg, variant)
+        _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
+                            with_hps=False)
 
     def run_epochs(self, valid_metric: str):
         """Cached jitted multi-epoch chunk program (see
         :func:`_compile_run_epochs`)."""
         if valid_metric not in self._run_cache:
             self._run_cache[valid_metric] = _compile_run_epochs(
-                *self._pieces, valid_metric, with_hps=False)
+                *self._pieces, valid_metric, with_hps=self._with_hps)
         return self._run_cache[valid_metric]
 
     @staticmethod

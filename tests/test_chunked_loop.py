@@ -22,8 +22,13 @@ from test_training import tiny_cfg, tiny_data
 quiet = lambda: RunLogger(echo=False)
 
 # small chunk: multi-chunk carry threading is exercised with ONE
-# compiled chunk shape (12 epochs -> 3 chunks of 4, not 10+2)
-os.environ.setdefault("FACTORIZED_TPU_EPOCH_CHUNK", "4")
+# compiled chunk shape (12 epochs -> 3 chunks of 4, not 10+2).
+# autouse fixture (not a module-level env write): the env var must not
+# leak into other test modules in the same pytest process, which would
+# silently stop exercising the production DEFAULT_EPOCH_CHUNK=10 path.
+@pytest.fixture(autouse=True)
+def _chunk4(monkeypatch):
+    monkeypatch.setenv("FACTORIZED_TPU_EPOCH_CHUNK", "4")
 
 
 def _run_both(fn, *args, **kw):

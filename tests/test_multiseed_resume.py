@@ -174,3 +174,23 @@ class TestNoSilentSeedDowngrade:
     def test_cli_supported_types_is_exact(self):
         assert set(MULTISEED_TYPES) == {"mfm", "kl", "m_a", "m_b", "m_c",
                                         "m_d"}
+
+    @pytest.mark.parametrize("flag", [["--evolve", "4"], ["--bucket"]])
+    def test_cli_refuses_search_flags_outside_search_mode(self, flag,
+                                                          tmp_path):
+        """--evolve/--bucket with --mode single/best must exit loudly
+        instead of silently running a plain training run (the same
+        silent-flag-drop pattern as the round-2 --seeds bug)."""
+        from factorized_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="--mode search"):
+            main(["mosi", "--mode", "single", "--epochs", "1",
+                  "--out", str(tmp_path)] + flag)
+
+    @pytest.mark.parametrize("flag", [["--evolve", "4"], ["--bucket"]])
+    def test_cli_mosi_acc_refuses_search_flags(self, flag, tmp_path):
+        from factorized_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="not wired"):
+            main(["mosi_acc", "--mode", "search", "--epochs", "1",
+                  "--out", str(tmp_path)] + flag)

@@ -228,3 +228,18 @@ class TestInitDistributions:
         y = np.asarray(dropout(KEY, x, 0.5, train=True))
         assert set(np.unique(y)).issubset({0.0, 2.0})
         assert 0.3 < (y == 0).mean() < 0.7
+
+    def test_dropout_rate_one_zeroes_in_both_paths(self):
+        """rate >= 1 must zero everything on the TRACED path too —
+        bernoulli(1e-6) is not all-zero, and a rare survivor would be
+        scaled by 1e6 (per-lane rates are unvalidated config values in
+        the bucket/evolve search)."""
+        from factorized_tpu.ops import dropout
+
+        x = jnp.ones((200_000,))
+        assert np.all(np.asarray(dropout(KEY, x, 1.0, train=True)) == 0.0)
+        traced = jax.jit(lambda r: dropout(KEY, x, r, train=True))
+        assert np.all(np.asarray(traced(jnp.float32(1.0))) == 0.0)
+        # sub-1 traced rates are untouched by the guard
+        y = np.asarray(traced(jnp.float32(0.5)))
+        assert set(np.unique(y)).issubset({0.0, 2.0})

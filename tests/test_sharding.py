@@ -300,3 +300,27 @@ class TestMultiSeedAcc:
         for r in res["results"]:
             assert 0.0 <= r["metrics"]["accuracy"] <= 1.0
             assert 0.0 <= r["best_valid"] <= 1.0  # accuracies, not losses
+
+
+class TestSeedParallelMeshSizing:
+    def test_non_dividing_lane_count_shrinks_the_mesh(self):
+        """Bucket sizes are data-dependent (random shape draws), so
+        --seed-parallel must not crash when lanes don't divide the
+        device count: it shards over the largest dividing device
+        count instead (cli._seed_parallel_mesh)."""
+        from factorized_tpu.cli import _seed_parallel_mesh
+
+        # 8 virtual devices (conftest): 3 lanes -> 3-device 1-D mesh
+        mesh = _seed_parallel_mesh(3)
+        assert mesh.devices.size == 3
+
+        # 6 lanes -> largest divisor of 6 that is <= 8 is 6
+        mesh = _seed_parallel_mesh(6)
+        assert mesh.devices.size == 6
+
+        # dividing counts keep the full slice: 4 seeds over 8 devices
+        # -> 2-D ('seed', 'batch') mesh using all 8
+        mesh = _seed_parallel_mesh(4)
+        assert mesh.devices.size == 8
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "seed": 4, "batch": 2}
