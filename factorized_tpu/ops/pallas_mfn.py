@@ -74,12 +74,18 @@ def make_dropout_masks(key, t, n, sizes, drops):
         else:
             # rate may be traced (per-lane under the config-vmapped
             # search); a traced 0 still yields an exact all-ones mask
-            keep = (1.0 - rate if rate_is_static(rate)
-                    else jnp.maximum(1.0 - rate, 1e-6))
+            if rate_is_static(rate):
+                keep = 1.0 - rate
+                scale = 0.0 if rate >= 1.0 else 1.0 / keep
+            else:
+                keep = jnp.maximum(1.0 - rate, 1e-6)
+                # rate >= 1 zeroes survivors, matching core.dropout's
+                # traced-path guard (bernoulli(1e-6) is not all-zero)
+                scale = jnp.where(rate >= 1.0, 0.0, 1.0 / keep)
             bern = jax.vmap(
                 lambda k: jax.random.bernoulli(k, keep, (n, s))
             )(ks[:, site])
-            cols.append(jnp.where(bern, 1.0 / keep, 0.0).astype(jnp.float32))
+            cols.append(jnp.where(bern, scale, 0.0).astype(jnp.float32))
     return jnp.concatenate(cols, axis=2)
 
 
