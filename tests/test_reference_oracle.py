@@ -744,3 +744,79 @@ def test_training_dynamics_match_reference(det_mmd):
                             key=jax.random.PRNGKey(0), train=False)
     close(o_dec[3], t_dec[3], atol=2e-3, rtol=2e-3,
           what="post-training y_hat")
+
+
+def test_training_dynamics_match_reference_classification(det_mmd):
+    """The acc-variant dynamics (``mfm_mosi_acc.py:396-503``: labels
+    binarized upstream, CrossEntropy disc loss, same Adam/loss
+    composition) against the literal reference model — the
+    classification twin of the regression dynamics oracle above."""
+    ref = det_mmd
+    cfg = small_cfg()
+    cfg = cfg.replace(
+        zy_to_fy_dropout=0.0, zl_to_fl_dropout=0.0, za_to_fa_dropout=0.0,
+        zv_to_fv_dropout=0.0, fy_to_y_dropout=0.0, att1_drop=0.0,
+        att2_drop=0.0, gamma1_drop=0.0, gamma2_drop=0.0, out_drop=0.0,
+        lda_mmd=0.5, lda_xl=1.0, lda_xa=1.0, lda_xv=1.0,
+        task="classification", output_dim=2, batchsize=N,
+    )
+    params = mfm_init(jax.random.PRNGKey(7), cfg)
+    tmodel = ref["MFM"](*legacy_dicts(cfg))
+    copy_enc_trio(tmodel, params)
+    copy_dec_trio(tmodel, params)
+    copy_mfn(tmodel.mfn_encoder, params["mfn_enc"]["mfn"])
+    copy_linear(tmodel.last_to_zy_fc1, params["mfn_enc"]["last_to_zy"])
+    copy_zf_trio(tmodel, params)
+    copy_mlp2(tmodel, "fy_to_y", params["fy_to_y"])
+
+    rng = np.random.RandomState(11)
+    n_batches, n_steps = 4, 12
+    Xb = rng.randn(n_batches, T, N, cfg.d_total).astype(np.float32)
+    yb = (rng.randn(n_batches, N) >= 0).astype(np.int64)
+
+    from factorized_tpu.train import TrainProgram, make_optimizer
+
+    opt = make_optimizer("adam", 1e-3)
+    opt_state = opt.init(params)
+    program = TrainProgram(mfm_apply, cfg, "joint", opt)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    ours_disc = []
+    for s in range(n_steps):
+        b = s % n_batches
+        params, opt_state, tracked = program.step(
+            params, opt_state, jnp.asarray(Xb[b]),
+            jnp.asarray(yb[b], jnp.int32), jax.random.PRNGKey(s), lr)
+        ours_disc.append(float(tracked))
+
+    topt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
+    ce, mse = torch.nn.CrossEntropyLoss(), torch.nn.MSELoss()
+    d_l, d_a, _ = cfg.input_dims
+    tmodel.train()
+    theirs_disc = []
+    for s in range(n_steps):
+        b = s % n_batches
+        x = torch.tensor(Xb[b])
+        y = torch.tensor(yb[b])
+        decoded, mmd, missing = tmodel.forward(x)
+        x_l_hat, x_a_hat, x_v_hat, y_hat = decoded
+        disc = ce(y_hat, y)
+        gen = (cfg.lda_xl * mse(x_l_hat, x[:, :, :d_l])
+               + cfg.lda_xa * mse(x_a_hat, x[:, :, d_l:d_l + d_a])
+               + cfg.lda_xv * mse(x_v_hat, x[:, :, d_l + d_a:]))
+        loss = disc + gen + cfg.lda_mmd * mmd + missing
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        theirs_disc.append(float(disc))
+
+    np.testing.assert_allclose(ours_disc, theirs_disc, atol=5e-4,
+                               rtol=5e-4,
+                               err_msg="per-step CE loss trajectory")
+
+    tmodel.eval()
+    with torch.no_grad():
+        t_dec, _, _ = tmodel.forward(torch.tensor(Xb[0]))
+    o_dec, _, _ = mfm_apply(params, jnp.asarray(Xb[0]), cfg,
+                            key=jax.random.PRNGKey(0), train=False)
+    close(o_dec[3], t_dec[3], atol=2e-3, rtol=2e-3,
+          what="post-training logits")
