@@ -41,6 +41,7 @@ from factorized_tpu.parallel.multiseed import (
     _compile_run_epochs,
     _init_lane_programs,
     _Null,
+    prepare_bucket_data,
     sched_from_dicts,
     sched_to_dicts,
 )
@@ -136,60 +137,6 @@ class ConfigBucketProgram:
                             with_hps=True, init_fn=init_fn)
 
     run_epochs = MultiSeedProgram.run_epochs
-
-
-def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
-                        y_test, rep, *, seed: int = 123, mesh=None):
-    """Shuffle/batch/device-place the dataset ONCE for (possibly many)
-    :func:`train_config_bucket` calls at one shape signature.
-
-    The evolving search runs every rung against the SAME tensors;
-    re-uploading the full train/valid/test set through a TPU tunnel on
-    each rung call measurably dominated the steady rung wall
-    (scripts/evolve_probe.py), so the rung driver builds this once and
-    passes it as ``prep=``."""
-    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
-    Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1),
-                              np.float32)
-    Xte = np.ascontiguousarray(np.asarray(X_test).swapaxes(0, 1),
-                               np.float32)
-    yv, yte = np.asarray(y_valid), np.asarray(y_test)
-    if rep.task == "classification":
-        yv, yte = yv.astype(np.int32), yte.astype(np.int32)
-        ytr = np.asarray(y_train, np.int32)
-    else:
-        yv, yte = yv.astype(np.float32), yte.astype(np.float32)
-        ytr = np.asarray(y_train, np.float32)
-    Xb, yb, _ = make_batches(X_train, ytr, rep.batchsize, False)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        if "batch" in mesh.axis_names:
-            b_dev = mesh.shape["batch"]
-            if rep.batchsize % b_dev:
-                raise ValueError(
-                    f"batchsize={rep.batchsize} must divide the mesh "
-                    f"'batch' axis ({b_dev})")
-            x_sh = NamedSharding(mesh, P(None, None, "batch"))
-            y_sh = NamedSharding(mesh, P(None, "batch"))
-            xv_sh = (NamedSharding(mesh, P(None, "batch"))
-                     if Xv.shape[1] % b_dev == 0
-                     else NamedSharding(mesh, P()))
-        else:
-            x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
-        rep_sh = NamedSharding(mesh, P())
-        Xb, yb = jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh)
-        Xv_d = jax.device_put(Xv, xv_sh)
-        yv_d = jax.device_put(yv, rep_sh)
-        Xte_d = jax.device_put(Xte, rep_sh)
-    else:
-        Xb, yb = jax.device_put(Xb), jax.device_put(yb)
-        Xv_d = jax.device_put(Xv)
-        yv_d = jax.device_put(yv)
-        Xte_d = jax.device_put(Xte)
-    return {"Xb": Xb, "yb": yb, "Xv": Xv_d, "yv": yv_d,
-            "Xte": Xte_d, "yte": yte,
-            "seed": seed, "batchsize": rep.batchsize, "task": rep.task}
 
 
 def train_config_bucket(

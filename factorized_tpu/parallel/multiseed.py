@@ -48,6 +48,61 @@ def _take_lane(tree, i):
     return jax.tree.map(lambda a: a[i], tree)
 
 
+def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
+                        y_test, rep, *, seed: int = 123, mesh=None):
+    """Shuffle/batch/device-place the dataset ONCE for (possibly many)
+    lane-program calls at one shape signature — used by
+    :func:`train_mfm_multiseed` and ``multiconfig.train_config_bucket``.
+
+    The evolving search runs every rung against the SAME tensors;
+    re-uploading the full train/valid/test set through a TPU tunnel on
+    each rung call measurably dominated the steady rung wall
+    (scripts/evolve_probe.py), so the rung driver builds this once and
+    passes it as ``prep=``."""
+    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
+    Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1),
+                              np.float32)
+    Xte = np.ascontiguousarray(np.asarray(X_test).swapaxes(0, 1),
+                               np.float32)
+    yv, yte = np.asarray(y_valid), np.asarray(y_test)
+    if rep.task == "classification":
+        yv, yte = yv.astype(np.int32), yte.astype(np.int32)
+        ytr = np.asarray(y_train, np.int32)
+    else:
+        yv, yte = yv.astype(np.float32), yte.astype(np.float32)
+        ytr = np.asarray(y_train, np.float32)
+    Xb, yb, _ = make_batches(X_train, ytr, rep.batchsize, False)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if "batch" in mesh.axis_names:
+            b_dev = mesh.shape["batch"]
+            if rep.batchsize % b_dev:
+                raise ValueError(
+                    f"batchsize={rep.batchsize} must divide the mesh "
+                    f"'batch' axis ({b_dev})")
+            x_sh = NamedSharding(mesh, P(None, None, "batch"))
+            y_sh = NamedSharding(mesh, P(None, "batch"))
+            xv_sh = (NamedSharding(mesh, P(None, "batch"))
+                     if Xv.shape[1] % b_dev == 0
+                     else NamedSharding(mesh, P()))
+        else:
+            x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
+        rep_sh = NamedSharding(mesh, P())
+        Xb, yb = jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh)
+        Xv_d = jax.device_put(Xv, xv_sh)
+        yv_d = jax.device_put(yv, rep_sh)
+        Xte_d = jax.device_put(Xte, rep_sh)
+    else:
+        Xb, yb = jax.device_put(Xb), jax.device_put(yb)
+        Xv_d = jax.device_put(Xv)
+        yv_d = jax.device_put(yv)
+        Xte_d = jax.device_put(Xte)
+    return {"Xb": Xb, "yb": yb, "Xv": Xv_d, "yv": yv_d,
+            "Xte": Xte_d, "yte": yte,
+            "seed": seed, "batchsize": rep.batchsize, "task": rep.task}
+
+
 def _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
                         with_hps, init_fn=None):
     """Build the jitted K-lane program set shared by
@@ -349,17 +404,11 @@ def train_mfm_multiseed(
     checkpoint and continue — the resumed run reproduces the
     uninterrupted run exactly (same key chain, re-derived by epoch)."""
     logger = logger or RunLogger()
-    X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
-    Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1), np.float32)
-    Xte = np.ascontiguousarray(np.asarray(X_test).swapaxes(0, 1), np.float32)
-    yv = np.asarray(y_valid)
-    yte = np.asarray(y_test)
-    if cfg.task == "classification":
-        yv, yte = yv.astype(np.int32), yte.astype(np.int32)
-        ytr = np.asarray(y_train, np.int32)
-    else:
-        yv, yte = yv.astype(np.float32), yte.astype(np.float32)
-        ytr = np.asarray(y_train, np.float32)
+    prep = prepare_bucket_data(X_train, y_train, X_valid, y_valid,
+                               X_test, y_test, cfg, seed=seed, mesh=mesh)
+    Xb, yb = prep["Xb"], prep["yb"]
+    Xv_d, yv_d = prep["Xv"], prep["yv"]
+    Xte, yte = prep["Xte"], prep["yte"]
 
     name = model_type or cfg.model_type
     if name not in MODELS:
@@ -401,8 +450,9 @@ def train_mfm_multiseed(
         for _ in range(start_epoch):
             key, _, _ = jax.random.split(key, 3)
 
-    Xb, yb, _ = make_batches(X_train, ytr, cfg.batchsize, False)
     if mesh is not None:
+        # data placement happened in prepare_bucket_data; here only the
+        # per-seed STATE tensors get their seed-axis sharding
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         seed_ax = "seed" if "seed" in mesh.axis_names else "data"
@@ -412,34 +462,12 @@ def train_mfm_multiseed(
                 f"n_seeds={n_seeds} must divide the mesh {seed_ax!r} "
                 f"axis ({n_dev}) for seed-parallel training")
         seed_sh = NamedSharding(mesh, P(seed_ax))
-        if "batch" in mesh.axis_names:
-            b_dev = mesh.shape["batch"]
-            if cfg.batchsize % b_dev:
-                raise ValueError(
-                    f"batchsize={cfg.batchsize} must divide the mesh "
-                    f"'batch' axis ({b_dev})")
-            x_sh = NamedSharding(mesh, P(None, None, "batch"))
-            y_sh = NamedSharding(mesh, P(None, "batch"))
-            # full-set eval: shard only when evenly divisible
-            xv_sh = (NamedSharding(mesh, P(None, "batch"))
-                     if Xv.shape[1] % b_dev == 0
-                     else NamedSharding(mesh, P()))
-        else:
-            x_sh = y_sh = xv_sh = NamedSharding(mesh, P())
         params = jax.device_put(params, seed_sh)
         opt_state = jax.device_put(opt_state, seed_sh)
         best_stack = jax.device_put(best_stack, seed_sh)
         best = jax.device_put(best, seed_sh)
         has_best = jax.device_put(has_best, seed_sh)
         sched = {k: jax.device_put(v, seed_sh) for k, v in sched.items()}
-        Xb, yb = (jax.device_put(Xb, x_sh), jax.device_put(yb, y_sh))
-        Xv_d = jax.device_put(Xv, xv_sh)
-        yv_d = jax.device_put(yv, NamedSharding(mesh, P()))
-    else:
-        # device-resident across all epochs
-        Xb, yb = jax.device_put(Xb), jax.device_put(yb)
-        Xv_d = jax.device_put(Xv)
-        yv_d = jax.device_put(yv)
 
     # chunk boundaries anchored at epoch 0 and aligned to ckpt_every,
     # so a resumed run re-enters on a boundary and reproduces the
