@@ -45,13 +45,7 @@ from factorized_tpu.parallel.multiseed import (
     sched_from_dicts,
     sched_to_dicts,
 )
-from factorized_tpu.train import (
-    make_batches,
-    make_eval_fn,
-    make_loss_fn,
-    make_optimizer,
-    shuffle_and_time_major,
-)
+from factorized_tpu.train import make_eval_fn, make_loss_fn, make_optimizer
 from factorized_tpu.utils.logging import RunLogger
 from factorized_tpu.utils.metrics import score_classification, score_regression
 from factorized_tpu.utils.scheduler import plateau_init

@@ -404,12 +404,6 @@ def train_mfm_multiseed(
     checkpoint and continue — the resumed run reproduces the
     uninterrupted run exactly (same key chain, re-derived by epoch)."""
     logger = logger or RunLogger()
-    prep = prepare_bucket_data(X_train, y_train, X_valid, y_valid,
-                               X_test, y_test, cfg, seed=seed, mesh=mesh)
-    Xb, yb = prep["Xb"], prep["yb"]
-    Xv_d, yv_d = prep["Xv"], prep["yv"]
-    Xte, yte = prep["Xte"], prep["yte"]
-
     name = model_type or cfg.model_type
     if name not in MODELS:
         name = "mfm"
@@ -418,6 +412,13 @@ def train_mfm_multiseed(
             f"multiseed training supports model types {MULTISEED_TYPES} "
             f"(single-stage joint loss); {name!r} has different training "
             "semantics - use its dedicated trainer with one seed")
+    # after the type validation: prep uploads the full dataset through
+    # the TPU tunnel, which a rejected call should never pay for
+    prep = prepare_bucket_data(X_train, y_train, X_valid, y_valid,
+                               X_test, y_test, cfg, seed=seed, mesh=mesh)
+    Xb, yb = prep["Xb"], prep["yb"]
+    Xv_d, yv_d = prep["Xv"], prep["yv"]
+    Xte, yte = prep["Xte"], prep["yte"]
     init, apply_fn = get_model(name)
     lr = 1e-3 if lr is None else lr
     opt = make_optimizer("adam", lr, cfg.momentum)
