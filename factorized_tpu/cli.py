@@ -628,6 +628,56 @@ def run_test_attention(args):
     return 0
 
 
+def run_multitrait_evolve(args, data, input_dims, rng):
+    """Evolving search over the multi-trait surface: the reference's
+    POM/IEMOCAP-family random search (``mfm_mmmo.py:676-729`` space)
+    run as successive halving with lane recycling, one vector-output
+    MFM per lane (ranking by mean test MAE over traits)."""
+    import numpy as np
+
+    from factorized_tpu.parallel.multiconfig import train_evolving_search
+
+    n = args.trials or 16
+    n_traits = int(np.asarray(data[1]).shape[1])
+    round_i = 0
+    while True:
+        template = sample_search_config("mmmo", rng, model_type=args.type)
+        template = template.replace(input_dims=list(input_dims),
+                                    task="regression",
+                                    output_dim=n_traits)
+        if args.epochs:
+            template = template.replace(num_epochs=args.epochs)
+        if args.batchsize:
+            template = template.replace(batchsize=args.batchsize)
+        logger = RunLogger(args.out,
+                           run_id=f"{args.style}_evolve{round_i}")
+        logger.record("search_meta", evolve_rungs=args.evolve,
+                      cull_frac=args.cull_frac, n_configs=n,
+                      style=args.style, template=template.to_dict())
+        kw = dict(n_configs=n, rungs=args.evolve,
+                  cull_frac=args.cull_frac, rng=rng, logger=logger,
+                  seed=args.seed + round_i,
+                  seeds_per_config=max(args.seeds, 1), lr=args.lr)
+        if args.ckpt_every:
+            kw["ckpt_dir"] = (f"{args.out}/ckpt_auto_"
+                              f"{args.style}_evolve{round_i}")
+        if args.resume and round_i == 0:
+            kw["resume_from"] = args.resume
+        if args.seed_parallel:
+            kw["mesh"] = _seed_parallel_mesh(n * max(args.seeds, 1))
+        res = train_evolving_search(*data, template, "mmmo", **kw)
+        print(f"multitrait evolve round {round_i}: explored "
+              f"{res['explored_configs']} configs over {args.evolve} "
+              f"rungs; best mean-MAE "
+              f"{res['best']['metrics']['mae_mean']:.4f} "
+              f"(rung {res['best']['rung']})")
+        logger.close()
+        round_i += 1
+        if args.trials:
+            break
+    return 0
+
+
 def run_multitrait(args):
     """POM/IEMOCAP-style multi-trait regression (present in the
     reference only as check.py's aggregation modes), plus the PUBLIC
@@ -653,6 +703,16 @@ def run_multitrait(args):
                                    style=args.style)
         input_dims = multitrait.INPUT_DIMS
     rng = random.Random(args.seed)
+    if args.bucket:
+        raise SystemExit(
+            "--bucket is not wired to the multitrait surface; use "
+            "--evolve (successive-halving value search) instead")
+    if args.evolve and args.mode != "search":
+        raise SystemExit(
+            f"--evolve only applies to --mode search (got --mode "
+            f"{args.mode}); add --mode search or drop --evolve")
+    if args.mode == "search" and args.evolve:
+        return run_multitrait_evolve(args, data, input_dims, rng)
     trial = 0
     while True:
         if args.mode == "search":

@@ -47,7 +47,11 @@ from factorized_tpu.parallel.multiseed import (
 )
 from factorized_tpu.train import make_eval_fn, make_loss_fn, make_optimizer
 from factorized_tpu.utils.logging import RunLogger
-from factorized_tpu.utils.metrics import score_classification, score_regression
+from factorized_tpu.utils.metrics import (
+    score_classification,
+    score_multitrait,
+    score_regression,
+)
 from factorized_tpu.utils.scheduler import plateau_init
 
 # Per-lane VALUE fields: traced into the vmapped program as a (K, n_hp)
@@ -295,10 +299,16 @@ def train_config_bucket(
     eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
     preds = np.asarray(program.predict(eval_stack, Xte_d))
     best_h = np.asarray(best)
+    multi = np.asarray(yte).ndim == 2 and rep.task == "regression"
     results = []
     for k in range(K):
         if rep.task == "classification":
             m = score_classification(preds[k], yte, out=_Null())
+        elif multi:
+            # multi-trait (POM/IEMOCAP-style) vector labels: per-trait
+            # lists plus a scalar mean-MAE the ranking below uses
+            m = score_multitrait(preds[k], yte, out=_Null())
+            m = {**m, "mae_mean": float(np.mean(m["mae"]))}
         else:
             m = score_regression(preds[k], yte, binary_threshold,
                                  threshold_mode, out=_Null())
@@ -308,12 +318,18 @@ def train_config_bucket(
             "metrics": m,
             "best_valid": float(best_h[k]),
         })
-    key_metric = "accuracy" if rep.task == "classification" else "mae"
+    key_metric = ("accuracy" if rep.task == "classification"
+                  else "mae_mean" if multi else "mae")
     pick = (max if rep.task == "classification" else min)(
         range(K), key=lambda k: results[k]["metrics"][key_metric])
+    # multi-trait: the best lane's per-trait lists also go top-level so
+    # `check --multitrait` aggregates bucket/evolve logs like the
+    # single-trainer ones (check.parse_jsonl_multitrait reads
+    # top-level mae/corr/mult_acc lists)
     logger.record("final", per_lane=[r["metrics"] for r in results],
                   best_lane=pick,
-                  best_config_index=results[pick]["config_index"])
+                  best_config_index=results[pick]["config_index"],
+                  **(results[pick]["metrics"] if multi else {}))
     # one lane-gather dispatch + (unless the caller keeps it on device)
     # one BATCHED pull — per-leaf np.asarray(a[pick]) cost a tunnel
     # round-trip per leaf and dominated the rung's fixed overhead
@@ -544,7 +560,9 @@ def train_evolving_search(
     # ONE compiled program for all rungs: value swaps never recompile
     program = program or ConfigBucketProgram(apply_fn, rep, opt,
                                              init_fn=init)
-    key_metric = "accuracy" if rep.task == "classification" else "mae"
+    multi = (np.asarray(y_test).ndim == 2 and rep.task == "regression")
+    key_metric = ("accuracy" if rep.task == "classification"
+                  else "mae_mean" if multi else "mae")
     better = ((lambda a, b: a > b) if key_metric == "accuracy"
               else (lambda a, b: a < b))
 

@@ -116,7 +116,10 @@ def _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
         out = apply_fn(params, x, cfg, key=jax.random.PRNGKey(0),
                        train=False)
         y_hat = out[0][3]
-        return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
+        # scalar regression drops the trailing 1; multi-trait keeps the
+        # (n, n_traits) vector; classification keeps logits
+        return (jnp.squeeze(y_hat, 1)
+                if cfg.task == "regression" and cfg.output_dim == 1
                 else y_hat)
 
     predict_v = jax.vmap(predict_fn, in_axes=(0, None))

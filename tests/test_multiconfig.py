@@ -234,3 +234,89 @@ class TestTrainConfigBucket:
                                   seed=5, logger=quiet, mesh=make_mesh(8))
         for a, b in zip(ref["results"], shd["results"]):
             assert abs(a["metrics"]["mae"] - b["metrics"]["mae"]) < 5e-3
+
+
+class TestMultitraitBucket:
+    """Vector-output (multi-trait) lanes: per-trait scoring + mean-MAE
+    ranking (reference surface: mfm_mmmo.py's POM family, whose search
+    space the multitrait --evolve CLI samples)."""
+
+    def _mt_data(self, n_traits=3):
+        rng = np.random.default_rng(3)
+        d = CFG.d_total
+        data = []
+        for n in (48, 16, 24):
+            X = rng.normal(size=(n, CFG.seqlength, d)).astype(np.float32)
+            y = np.stack([(X.mean((1, 2)) * (t + 1)).astype(np.float32)
+                          for t in range(n_traits)], axis=1)
+            data.extend([X, y])
+        return data
+
+    def test_bucket_scores_per_trait(self):
+        cfg = CFG.replace(output_dim=3)
+        data = self._mt_data()
+        res = train_config_bucket(
+            *data, [cfg, cfg.replace(lda_mmd=0.5)],
+            logger=RunLogger(echo=False), seed=0)
+        for r in res["results"]:
+            m = r["metrics"]
+            assert len(m["mae"]) == 3 and len(m["corr"]) == 3
+            assert m["mae_mean"] == pytest.approx(np.mean(m["mae"]))
+        # ranking used the scalar mean
+        pick = res["best_lane"]
+        assert all(res["results"][pick]["metrics"]["mae_mean"]
+                   <= r["metrics"]["mae_mean"] for r in res["results"])
+
+    def test_evolve_multitrait(self):
+        import random
+
+        from factorized_tpu.parallel.multiconfig import (
+            train_evolving_search,
+        )
+
+        cfg = CFG.replace(output_dim=3)
+        data = self._mt_data()
+        res = train_evolving_search(
+            *data, cfg, "mmmo", n_configs=2, rungs=2, cull_frac=0.5,
+            seeds_per_config=1, rng=random.Random(0), seed=0,
+            logger=RunLogger(echo=False))
+        assert res["explored_configs"] == 3
+        assert len(res["best"]["metrics"]["mae"]) == 3
+        assert np.isfinite(res["best"]["metrics"]["mae_mean"])
+
+    def test_cli_multitrait_refuses_unwired_flags(self, tmp_path):
+        from factorized_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="not wired"):
+            main(["multitrait", "--mode", "search", "--bucket",
+                  "--out", str(tmp_path)])
+        with pytest.raises(SystemExit, match="--mode search"):
+            main(["multitrait", "--mode", "single", "--evolve", "2",
+                  "--out", str(tmp_path)])
+
+    def test_cli_multitrait_evolve_plumbing(self, monkeypatch, tmp_path):
+        """--evolve routes to train_evolving_search with a vector-output
+        mmmo-space template (no real training: the search is stubbed)."""
+        import factorized_tpu.cli as cli
+
+        seen = {}
+
+        def fake_evolve(*data, **kw):
+            seen["template"] = data[6]
+            seen["dataset"] = data[7] if len(data) > 7 else kw.get("dataset")
+            seen["kw"] = kw
+            return {"explored_configs": 2, "best": {
+                "metrics": {"mae_mean": 1.0, "mae": [1.0]}, "rung": 0,
+                "best_valid": 1.0, "config": {}}, "rungs": [],
+                "params": {}}
+
+        import factorized_tpu.parallel.multiconfig as mc
+
+        monkeypatch.setattr(mc, "train_evolving_search", fake_evolve)
+        rc = cli.main(["multitrait", "--mode", "search", "--evolve", "2",
+                       "--trials", "2", "--epochs", "1",
+                       "--out", str(tmp_path)])
+        assert rc == 0
+        t = seen["template"]
+        assert t.task == "regression" and t.output_dim > 1
+        assert seen["kw"]["rungs"] == 2 and seen["kw"]["n_configs"] == 2
