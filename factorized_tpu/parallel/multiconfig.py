@@ -60,7 +60,7 @@ from factorized_tpu.utils.scheduler import plateau_init
 HP_FIELDS = (
     "zy_to_fy_dropout", "zl_to_fl_dropout", "za_to_fa_dropout",
     "zv_to_fv_dropout", "fy_to_y_dropout",
-    "att1_drop", "att2_drop", "gamma1_drop", "gamma2_drop",
+    "att1_drop", "att2_drop", "gamma1_drop", "gamma2_drop", "out_drop",
     "lda_mmd", "lda_xl", "lda_xa", "lda_xv",
 )
 

@@ -320,3 +320,44 @@ class TestMultitraitBucket:
         t = seen["template"]
         assert t.task == "regression" and t.output_dim > 1
         assert seen["kw"]["rungs"] == 2 and seen["kw"]["n_configs"] == 2
+
+
+class TestSearchSpaceCoverage:
+    """Drift guard: every field the per-dataset search spaces sample
+    must be a SHAPE field (splits buckets), an HP field (traced
+    per-lane), or lr — otherwise a bucketed/evolving search would
+    silently train the template's value instead of the draw's."""
+
+    def test_every_sampled_field_is_shape_hp_or_lr(self):
+        import dataclasses
+        import random as pyrandom
+
+        from factorized_tpu.config import sample_search_config
+        from factorized_tpu.parallel.multiconfig import SHAPE_FIELDS
+
+        rng = pyrandom.Random(0)
+        names = [f.name for f in dataclasses.fields(MFMConfig)]
+        for ds in ("mosi", "moud", "you", "mmmo"):
+            a = sample_search_config(ds, rng)
+            for _ in range(50):
+                b = sample_search_config(ds, rng)
+                for f in names:
+                    if getattr(a, f) != getattr(b, f):
+                        assert (f in SHAPE_FIELDS or f in HP_FIELDS
+                                or f == "lr"), (
+                            f"{ds}: sampled field {f!r} is neither a "
+                            "shape-signature field nor a traced HP "
+                            "field — bucketed search would ignore it")
+
+    def test_resample_preserves_signature_all_datasets(self):
+        import random as pyrandom
+
+        from factorized_tpu.config import sample_search_config
+        from factorized_tpu.parallel.multiconfig import resample_values
+
+        rng = pyrandom.Random(1)
+        for ds in ("mosi", "moud", "you", "mmmo"):
+            t = sample_search_config(ds, rng)
+            for _ in range(20):
+                assert (shape_signature(resample_values(t, ds, rng))
+                        == shape_signature(t))
