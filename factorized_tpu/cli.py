@@ -244,37 +244,31 @@ def run_bucket_search(args, data, info, rng):
     return 0
 
 
-def run_evolve_search(args, data, info, rng):
-    """Evolving (successive-halving with lane recycling) search: each
-    round draws ONE shape signature, fills ``--trials`` vmapped lanes
-    with value draws on it, and runs ``--evolve`` rungs of
-    train-rank-cull-resample (parallel/multiconfig.py
-    train_evolving_search). ``--trials 0``: new shape every round,
-    forever — the reference's infinite search (``mfm_mosi.py:1302``)
-    with early stopping of bad trials."""
+def _evolve_rounds(args, data, dataset, rng, make_template, prefix,
+                   best_str, extra_kw=None, meta_extra=None):
+    """Shared round loop for every evolving-search CLI surface: draw a
+    shape template per round, run ``--evolve`` rungs of
+    train-rank-cull-resample on --trials lanes, print a summary.
+    ``--trials 0``: new shape every round, forever — the reference's
+    infinite search (``mfm_mosi.py:1302``) with early stopping of bad
+    trials."""
     from factorized_tpu.parallel.multiconfig import train_evolving_search
 
     n = args.trials or 16
     round_i = 0
     while True:
-        template = sample_search_config(args.dataset, rng,
-                                        model_type=args.type,
-                                        missing=args.missing,
-                                        zeros=args.zeros)
-        if args.dataset in ("mosi_sdk", "mosei_sdk"):
-            template = template.replace(input_dims=info["input_dims"])
+        template = make_template()
         if args.epochs:
             template = template.replace(num_epochs=args.epochs)
         if args.batchsize:
             template = template.replace(batchsize=args.batchsize)
-        logger = RunLogger(args.out,
-                           run_id=f"{args.dataset}_evolve{round_i}")
+        logger = RunLogger(args.out, run_id=f"{prefix}_evolve{round_i}")
         # "search_meta", not "config": check counts "config" records as
         # trials (the reference's `tot`), and the evolving search logs
         # one per EXPLORED config (parallel/multiconfig.py)
         logger.record("search_meta", evolve_rungs=args.evolve,
                       cull_frac=args.cull_frac, n_configs=n,
-                      template=template.to_dict())
+                      template=template.to_dict(), **(meta_extra or {}))
         kw = dict(n_configs=n, rungs=args.evolve,
                   cull_frac=args.cull_frac, rng=rng, logger=logger,
                   seed=args.seed + round_i,
@@ -282,29 +276,43 @@ def run_evolve_search(args, data, info, rng):
         if args.ckpt_every:
             # rung-boundary granularity: the evolve state is only
             # consistent between rungs (culled lanes swap configs there)
-            kw["ckpt_dir"] = (f"{args.out}/ckpt_auto_"
-                              f"{args.dataset}_evolve{round_i}")
+            kw["ckpt_dir"] = f"{args.out}/ckpt_auto_{prefix}_evolve{round_i}"
         if args.resume and round_i == 0:
             kw["resume_from"] = args.resume
-        if info["task"] == "classification":
-            kw["use_config_lr"] = True
-        else:
-            kw["lr"] = args.lr
         if args.seed_parallel:
             kw["mesh"] = _seed_parallel_mesh(n * max(args.seeds, 1))
-        if info["threshold"] is not None:
-            kw.update(binary_threshold=info["threshold"],
-                      threshold_mode=info["mode"])
-        res = train_evolving_search(*data, template, args.dataset, **kw)
-        print(f"evolve round {round_i}: explored "
+        kw.update(extra_kw or {})
+        res = train_evolving_search(*data, template, dataset, **kw)
+        print(f"{prefix} evolve round {round_i}: explored "
               f"{res['explored_configs']} configs over {args.evolve} "
-              f"rungs; best {res['best']['metrics']} "
-              f"(rung {res['best']['rung']})")
+              f"rungs; best {best_str(res)} (rung {res['best']['rung']})")
         logger.close()
         round_i += 1
         if args.trials:
             break
     return 0
+
+
+def run_evolve_search(args, data, info, rng):
+    """Evolving (successive-halving with lane recycling) search over a
+    dataset surface (parallel/multiconfig.py train_evolving_search)."""
+
+    def make_template():
+        t = sample_search_config(args.dataset, rng, model_type=args.type,
+                                 missing=args.missing, zeros=args.zeros)
+        if args.dataset in ("mosi_sdk", "mosei_sdk"):
+            t = t.replace(input_dims=info["input_dims"])
+        return t
+
+    extra = ({"use_config_lr": True} if info["task"] == "classification"
+             else {"lr": args.lr})
+    if info["threshold"] is not None:
+        extra.update(binary_threshold=info["threshold"],
+                     threshold_mode=info["mode"])
+    return _evolve_rounds(args, data, args.dataset, rng, make_template,
+                          args.dataset,
+                          lambda res: str(res["best"]["metrics"]),
+                          extra_kw=extra)
 
 
 def run_dataset(args):
@@ -635,47 +643,18 @@ def run_multitrait_evolve(args, data, input_dims, rng):
     MFM per lane (ranking by mean test MAE over traits)."""
     import numpy as np
 
-    from factorized_tpu.parallel.multiconfig import train_evolving_search
-
-    n = args.trials or 16
     n_traits = int(np.asarray(data[1]).shape[1])
-    round_i = 0
-    while True:
-        template = sample_search_config("mmmo", rng, model_type=args.type)
-        template = template.replace(input_dims=list(input_dims),
-                                    task="regression",
-                                    output_dim=n_traits)
-        if args.epochs:
-            template = template.replace(num_epochs=args.epochs)
-        if args.batchsize:
-            template = template.replace(batchsize=args.batchsize)
-        logger = RunLogger(args.out,
-                           run_id=f"{args.style}_evolve{round_i}")
-        logger.record("search_meta", evolve_rungs=args.evolve,
-                      cull_frac=args.cull_frac, n_configs=n,
-                      style=args.style, template=template.to_dict())
-        kw = dict(n_configs=n, rungs=args.evolve,
-                  cull_frac=args.cull_frac, rng=rng, logger=logger,
-                  seed=args.seed + round_i,
-                  seeds_per_config=max(args.seeds, 1), lr=args.lr)
-        if args.ckpt_every:
-            kw["ckpt_dir"] = (f"{args.out}/ckpt_auto_"
-                              f"{args.style}_evolve{round_i}")
-        if args.resume and round_i == 0:
-            kw["resume_from"] = args.resume
-        if args.seed_parallel:
-            kw["mesh"] = _seed_parallel_mesh(n * max(args.seeds, 1))
-        res = train_evolving_search(*data, template, "mmmo", **kw)
-        print(f"multitrait evolve round {round_i}: explored "
-              f"{res['explored_configs']} configs over {args.evolve} "
-              f"rungs; best mean-MAE "
-              f"{res['best']['metrics']['mae_mean']:.4f} "
-              f"(rung {res['best']['rung']})")
-        logger.close()
-        round_i += 1
-        if args.trials:
-            break
-    return 0
+
+    def make_template():
+        return sample_search_config("mmmo", rng,
+                                    model_type=args.type).replace(
+            input_dims=list(input_dims), task="regression",
+            output_dim=n_traits)
+
+    return _evolve_rounds(
+        args, data, "mmmo", rng, make_template, args.style,
+        lambda res: f"mean-MAE {res['best']['metrics']['mae_mean']:.4f}",
+        extra_kw={"lr": args.lr}, meta_extra={"style": args.style})
 
 
 def run_multitrait(args):
@@ -684,6 +663,15 @@ def run_multitrait(args):
     .csd paths: ``--style mosei_sdk`` (sentiment + 6 emotion columns)
     and ``--style pom_sdk`` (the 17 POM speaker-trait columns,
     reference surface ``mfm_mmmo.py:33-345`` + ``check.py:226-250``)."""
+    # flag validation BEFORE the (possibly multi-GB csd) data load
+    if args.bucket:
+        raise SystemExit(
+            "--bucket is not wired to the multitrait surface; use "
+            "--evolve (successive-halving value search) instead")
+    if args.evolve and args.mode != "search":
+        raise SystemExit(
+            f"--evolve only applies to --mode search (got --mode "
+            f"{args.mode}); add --mode search or drop --evolve")
     from factorized_tpu.data import multitrait
 
     base = (MFMConfig.from_json(args.config) if args.config
@@ -703,14 +691,6 @@ def run_multitrait(args):
                                    style=args.style)
         input_dims = multitrait.INPUT_DIMS
     rng = random.Random(args.seed)
-    if args.bucket:
-        raise SystemExit(
-            "--bucket is not wired to the multitrait surface; use "
-            "--evolve (successive-halving value search) instead")
-    if args.evolve and args.mode != "search":
-        raise SystemExit(
-            f"--evolve only applies to --mode search (got --mode "
-            f"{args.mode}); add --mode search or drop --evolve")
     if args.mode == "search" and args.evolve:
         return run_multitrait_evolve(args, data, input_dims, rng)
     trial = 0

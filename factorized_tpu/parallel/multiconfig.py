@@ -60,6 +60,11 @@ from factorized_tpu.utils.scheduler import plateau_init
 HP_FIELDS = (
     "zy_to_fy_dropout", "zl_to_fl_dropout", "za_to_fa_dropout",
     "zv_to_fv_dropout", "fy_to_y_dropout",
+    # out_drop is traced for the drift invariant (every sampled value
+    # field is per-lane) but is inert for every bucketable model type —
+    # the MFM family never reads the MFN's out layer, exactly like the
+    # reference (mfm_model.py:136-138,199); only the non-bucketable MFN
+    # baseline consumes it (models/baselines.py:175)
     "att1_drop", "att2_drop", "gamma1_drop", "gamma2_drop", "out_drop",
     "lda_mmd", "lda_xl", "lda_xa", "lda_xv",
 )
@@ -299,7 +304,10 @@ def train_config_bucket(
     eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
     preds = np.asarray(program.predict(eval_stack, Xte_d))
     best_h = np.asarray(best)
-    multi = np.asarray(yte).ndim == 2 and rep.task == "regression"
+    # keyed on output_dim (which sets the model's predict shape), not
+    # on the label array's ndim — (n, 1)-shaped scalar labels must not
+    # trip the multi-trait path
+    multi = rep.output_dim > 1 and rep.task == "regression"
     results = []
     for k in range(K):
         if rep.task == "classification":
@@ -320,8 +328,18 @@ def train_config_bucket(
         })
     key_metric = ("accuracy" if rep.task == "classification"
                   else "mae_mean" if multi else "mae")
-    pick = (max if rep.task == "classification" else min)(
-        range(K), key=lambda k: results[k]["metrics"][key_metric])
+    maximize = rep.task == "classification"
+
+    def rank_val(k):
+        # NaN-safe: a diverged lane (nan metrics) must never win the
+        # pick — every x<nan / x>nan comparison is False, so a plain
+        # min/max would keep a nan lane 0 over finite lanes
+        v = results[k]["metrics"][key_metric]
+        if not np.isfinite(v):
+            return np.inf
+        return -v if maximize else v
+
+    pick = min(range(K), key=rank_val)
     # multi-trait: the best lane's per-trait lists also go top-level so
     # `check --multitrait` aggregates bucket/evolve logs like the
     # single-trainer ones (check.parse_jsonl_multitrait reads
@@ -560,11 +578,20 @@ def train_evolving_search(
     # ONE compiled program for all rungs: value swaps never recompile
     program = program or ConfigBucketProgram(apply_fn, rep, opt,
                                              init_fn=init)
-    multi = (np.asarray(y_test).ndim == 2 and rep.task == "regression")
+    multi = rep.output_dim > 1 and rep.task == "regression"
     key_metric = ("accuracy" if rep.task == "classification"
                   else "mae_mean" if multi else "mae")
-    better = ((lambda a, b: a > b) if key_metric == "accuracy"
-              else (lambda a, b: a < b))
+    maximize = key_metric == "accuracy"
+
+    def better(a, b):
+        # NaN-safe: a diverged rung's nan record must never stick as
+        # the overall best (finite < nan is False, so the plain
+        # comparator could keep nan forever)
+        if not np.isfinite(a):
+            return False
+        if not np.isfinite(b):
+            return True
+        return a > b if maximize else a < b
 
     data = (X_train, y_train, X_valid, y_valid, X_test, y_test)
     # upload the dataset ONCE for all rungs (re-uploading per rung

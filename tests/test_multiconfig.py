@@ -361,3 +361,17 @@ class TestSearchSpaceCoverage:
             for _ in range(20):
                 assert (shape_signature(resample_values(t, ds, rng))
                         == shape_signature(t))
+
+
+class TestNanLaneRanking:
+    def test_diverged_lane_never_wins_the_pick(self):
+        """A lane whose metrics are NaN (diverged) must lose to finite
+        lanes: every x<nan comparison is False, so an unguarded
+        min() would keep a NaN lane 0 forever."""
+        cfgs = [CFG.replace(lr=1e6), CFG]  # lane 0 diverges
+        res = train_config_bucket(*_data(), cfgs, use_config_lr=True,
+                                  logger=RunLogger(echo=False), seed=0)
+        m0 = res["results"][0]["metrics"]["mae"]
+        assert not np.isfinite(m0) or m0 > 1e3  # lane 0 really diverged
+        assert res["best_lane"] == 1
+        assert np.isfinite(res["results"][1]["metrics"]["mae"])
