@@ -93,10 +93,50 @@ def bench_jax(cfg):
             float(acc)
         groups.append((time.perf_counter() - t0) / 5)
     dt = min(groups)
-    sps = NB / dt
+    dispatched_sps = NB / dt
     log(f"jax epoch mode: groups {[f'{x*1e3:.1f}' for x in groups]} ms "
-        f"-> best {dt * 1000:.1f}ms/epoch -> {sps:.1f} steps/s")
-    return sps
+        f"-> best {dt * 1000:.1f}ms/epoch -> {dispatched_sps:.1f} steps/s")
+
+    # PRODUCTION mode: the trainers dispatch whole CHUNKS of epochs as
+    # one lax.scan program (trainers._loop_chunked), so the per-epoch
+    # tunnel round-trip (~40ms — 5x the 8ms of device compute this
+    # model needs per epoch) is paid once per chunk. Measure the same
+    # pure-train work in 20-epoch chunk programs; both numbers go in
+    # the JSON (docs/performance.md "Baseline methodology per round").
+    E = 20
+    epoch_raw = program._raw[0]
+
+    def chunk(params, opt_state, Xb, yb, key, lr):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, ek = jax.random.split(key)
+            params, opt_state, tr = epoch_raw(params, opt_state, Xb, yb,
+                                              ek, lr)
+            return (params, opt_state, key), tr
+
+        (params, opt_state, key), trs = jax.lax.scan(
+            body, (params, opt_state, key), None, length=E)
+        return params, opt_state, trs
+
+    cj = jax.jit(chunk, donate_argnums=(0, 1))
+    t0 = time.perf_counter()
+    params, opt_state, trs = cj(params, opt_state, Xb, yb,
+                                jax.random.PRNGKey(5), lr)
+    float(trs[-1])
+    log(f"jax chunk mode compile+first: {time.perf_counter() - t0:.2f}s")
+    cgroups = []
+    for g in range(4):
+        t0 = time.perf_counter()
+        params, opt_state, trs = cj(params, opt_state, Xb, yb,
+                                    jax.random.fold_in(
+                                        jax.random.PRNGKey(6), g), lr)
+        float(trs[-1])
+        cgroups.append(time.perf_counter() - t0)
+    cdt = min(cgroups)
+    sps = NB * E / cdt
+    log(f"jax chunk mode: groups {[f'{x*1e3:.0f}' for x in cgroups]} ms "
+        f"/{E} epochs -> {cdt / E * 1e3:.1f}ms/epoch -> {sps:.1f} steps/s")
+    return sps, dispatched_sps
 
 
 def _torch_mfm(cfg):
@@ -292,12 +332,17 @@ def main():
 
     cfg = get_cfg()
     torch_sps = cached_torch_baseline(cfg)
-    jax_sps = bench_jax(cfg)
+    jax_sps, dispatched_sps = bench_jax(cfg)
     result = {
         "metric": "mosi_mfm_train_steps_per_sec",
         "value": round(jax_sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(jax_sps / torch_sps, 2),
+        # the headline is the PRODUCTION path (20-epoch chunk programs,
+        # trainers._loop_chunked); rounds 1-2 measured per-epoch
+        # dispatch, kept here for cross-round comparability
+        "mode": "epoch_chunk_20",
+        "dispatched_steps_per_sec": round(dispatched_sps, 2),
         "baseline_steps_per_sec": round(torch_sps, 3),
         "baseline_torch_version": torch.__version__,
         "baseline_torch_threads": torch.get_num_threads(),
