@@ -516,8 +516,18 @@ def train_mfm_multiseed(
         results.append({"seed_index": k, "metrics": m,
                         "best_valid": float(best[k])})
     key_metric = "accuracy" if cfg.task == "classification" else "mae"
-    pick = (max if cfg.task == "classification" else min)(
-        range(n_seeds), key=lambda k: results[k]["metrics"][key_metric])
+    maximize = cfg.task == "classification"
+
+    def rank_val(k):
+        # NaN-safe: a diverged seed (nan metrics) must never win the
+        # pick (x<nan is always False, so a plain min/max would keep a
+        # nan seed 0 over finite seeds)
+        v = results[k]["metrics"][key_metric]
+        if not np.isfinite(v):
+            return np.inf
+        return -v if maximize else v
+
+    pick = min(range(n_seeds), key=rank_val)
     logger.record("final", per_seed=[r["metrics"] for r in results],
                   best_seed=pick)
     # one gather dispatch + one batched pull (per-leaf np.asarray costs
