@@ -70,7 +70,42 @@ def measure(k, cfg, Xb, yb):
     sps = k * NB / best
     print(f"K={k}: compile {compile_s:.1f}s, best epoch {best * 1e3:.1f}ms"
           f" -> {sps:.0f} model-steps/s", file=sys.stderr)
-    return sps
+
+    # chunked mode: 20 epochs per dispatch (the production loop shape,
+    # trainers/multiseed chunk programs) — amortizes the per-epoch
+    # tunnel round-trip exactly like bench.py's headline mode
+    E = 20
+    epoch_raw = program._pieces[0]
+
+    def chunk(params, opt_state, keys, lrs):
+        def body(carry, _):
+            params, opt_state, keys = carry
+            keys, eks = jax.vmap(jax.random.split, out_axes=1)(keys)
+            params, opt_state, tr = epoch_raw(params, opt_state, Xb, yb,
+                                              eks, lrs)
+            return (params, opt_state, keys), tr
+
+        (params, opt_state, keys), trs = jax.lax.scan(
+            body, (params, opt_state, keys), None, length=E)
+        return params, opt_state, trs
+
+    cj = jax.jit(chunk, donate_argnums=(0, 1))
+    t0 = time.perf_counter()
+    params, opt_state, trs = cj(params, opt_state, keys, lrs)
+    np.asarray(trs)
+    log_c = time.perf_counter() - t0
+    cbest = float("inf")
+    for g in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, trs = cj(params, opt_state,
+                                    jax.vmap(lambda kk: jax.random.fold_in(
+                                        kk, 100 + g))(keys), lrs)
+        np.asarray(trs)
+        cbest = min(cbest, (time.perf_counter() - t0) / E)
+    csps = k * NB / cbest
+    print(f"K={k} chunked: compile {log_c:.1f}s, {cbest * 1e3:.1f}ms/epoch"
+          f" -> {csps:.0f} model-steps/s", file=sys.stderr)
+    return sps, csps
 
 
 def main():
@@ -85,11 +120,14 @@ def main():
     Xb = jnp.asarray(rng.normal(size=(NB, t, B, d)), jnp.float32)
     yb = jnp.asarray(rng.normal(size=(NB, B)), jnp.float32)
 
-    sweep = {k: round(measure(k, cfg, Xb, yb), 1) for k in ks}
-    best_k = max(sweep, key=sweep.get)
+    pairs = {k: measure(k, cfg, Xb, yb) for k in ks}
+    sweep = {k: round(v[0], 1) for k, v in pairs.items()}
+    chunked = {k: round(v[1], 1) for k, v in pairs.items()}
+    best_k = max(chunked, key=chunked.get)
     print(json.dumps({"model_steps_per_sec_by_K": sweep,
+                      "chunked_model_steps_per_sec_by_K": chunked,
                       "best_K": best_k,
-                      "best_model_steps_per_sec": sweep[best_k]}))
+                      "best_model_steps_per_sec": chunked[best_k]}))
 
 
 if __name__ == "__main__":
