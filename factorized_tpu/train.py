@@ -403,17 +403,21 @@ class TrainProgram:
                      save_always=False, with_rem=False, sched_kw=()):
         """Cached jitted multi-epoch chunk program (see
         :func:`_compile_chunked_loop`). ``eval_device`` overrides the
-        program's eval (the acc-maximizing trainer's accuracy metric);
-        at most one override per program instance is cached."""
+        program's eval (the acc-maximizing trainer's accuracy metric).
+        Cached per override closure IDENTITY — passing a different
+        eval_device compiles a fresh program instead of silently reusing
+        the first one's metric; the closure is pinned in the cache entry
+        so a recycled id() can never alias a dead closure."""
         epoch, step, eval_fn = self._raw
-        key = (eval_device is not None, mode, save_always, with_rem,
+        key = (None if eval_device is None else id(eval_device),
+               mode, save_always, with_rem,
                tuple(sorted(dict(sched_kw).items())))
         if key not in self._chunk_cache:
-            self._chunk_cache[key] = _compile_chunked_loop(
+            self._chunk_cache[key] = (eval_device, _compile_chunked_loop(
                 epoch, step, eval_device or eval_fn, mode=mode,
                 save_always=save_always, with_rem=with_rem,
-                sched_kw=sched_kw)
-        return self._chunk_cache[key]
+                sched_kw=sched_kw))
+        return self._chunk_cache[key][1]
 
     def run_epoch(self, params, opt_state, Xb, yb, key, lr,
                   remainder=None):

@@ -125,7 +125,18 @@ def _loop_chunked(program, params, opt_state, Xb, yb, remainder, Xv, yv,
                   num_epochs, scheduler, keeper, logger, key,
                   save_always, eval_device, snapshot):
     """Chunked twin of :func:`_loop_host`: same key chain, keeper,
-    scheduler and divergence semantics, one dispatch per chunk."""
+    scheduler and divergence semantics, one dispatch per chunk.
+
+    One deliberate live-state divergence from the host loop: after a
+    NaN/inf epoch, bookkeeping (keeper/scheduler/logging) freezes via
+    the ``alive`` gate but ``epoch_fn`` keeps advancing the carried
+    params/opt_state through the rest of the chunk, while the host loop
+    breaks at the diverged epoch. Both carried states are NaN-poisoned
+    garbage either way; everything observable (best_params, history,
+    scheduler state, the ``best_params or params`` fallback when a save
+    DID happen) is identical. Only a run that diverges before its FIRST
+    save returns different (both-unusable) live params between the two
+    paths."""
     from factorized_tpu.train import DEFAULT_EPOCH_CHUNK
 
     with_rem = remainder is not None and remainder[0].shape[1] > 0

@@ -68,19 +68,28 @@ def main():
                 rungs=args.evolve, seeds_per_config=1,
                 use_config_lr=True, valid_metric=valid_metric,
                 logger=quiet, seed=123)
-            return (res["best"]["metrics"], res["params"],
-                    res["best"]["config"],
+            # the winner trained (rung+1) rungs of args.epochs each;
+            # record its real provenance, not just one rung's length
+            step = (res["best"]["rung"] + 1) * args.epochs
+            meta = dict(res["best"]["config"])
+            meta["_release"] = {
+                "mode": "evolve", "rungs": args.evolve,
+                "epochs_per_rung": args.epochs,
+                "winning_rung": res["best"]["rung"],
+                "explored_configs": res["explored_configs"],
+            }
+            return (res["best"]["metrics"], res["params"], meta, step,
                     f"evolve rungs={args.evolve} x {args.epochs} epochs, "
                     f"{res['explored_configs']} configs explored")
         res = train_mfm_multiseed(*task_data, cfg, n_seeds=args.seeds,
                                   logger=quiet, valid_metric=valid_metric)
         return (res["results"][res["best_seed"]]["metrics"],
-                res["best_params"], cfg.to_dict(),
+                res["best_params"], cfg.to_dict(), args.epochs,
                 f"epochs={args.epochs}, seeds={args.seeds}")
 
     # --- regression (mfn_mae) ---
     cfg = best_acc_mosi_config(num_epochs=args.epochs)
-    new, best_params, best_cfg, how = run(data, cfg, "loss")
+    new, best_params, best_cfg, step, how = run(data, cfg, "loss")
     shipped = evaluate_shipped(f"{REPO}/best/mfn_mae", data[4], data[5],
                                "regression")
     print(f"mfn_mae: new best MAE {new['mae']:.4f} "
@@ -88,7 +97,7 @@ def main():
           f"{shipped if shipped is None else round(shipped, 4)}")
     if not args.dry_run and (shipped is None or new["mae"] < shipped):
         save_checkpoint(f"{REPO}/best/mfn_mae", best_params,
-                        step=args.epochs, config=dict(best_cfg))
+                        step=step, config=dict(best_cfg))
         print(f"  -> RELEASED ({how})")
 
     # --- classification (mfn_acc) ---
@@ -96,8 +105,8 @@ def main():
     acc_data = list(data)
     for i in (1, 3, 5):
         acc_data[i] = (np.asarray(acc_data[i]) >= 0).astype(np.int64)
-    new_a, best_params_a, best_cfg_a, how_a = run(acc_data, acc_cfg,
-                                                  "accuracy")
+    new_a, best_params_a, best_cfg_a, step_a, how_a = run(acc_data, acc_cfg,
+                                                          "accuracy")
     shipped_a = evaluate_shipped(f"{REPO}/best/mfn_acc", acc_data[4],
                                  acc_data[5], "classification")
     print(f"mfn_acc: new best acc {new_a['accuracy']:.4f} vs shipped "
@@ -105,7 +114,7 @@ def main():
     if not args.dry_run and (shipped_a is None
                              or new_a["accuracy"] > shipped_a):
         save_checkpoint(f"{REPO}/best/mfn_acc", best_params_a,
-                        step=args.epochs, config=dict(best_cfg_a))
+                        step=step_a, config=dict(best_cfg_a))
         print(f"  -> RELEASED ({how_a})")
 
     print(json.dumps({"mae": new["mae"], "mae_shipped": shipped,

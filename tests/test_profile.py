@@ -4,9 +4,12 @@
 
 import os
 
+import pytest
+
 from factorized_tpu.cli import main
 
 
+@pytest.mark.slow
 def test_cli_profile_writes_trace(tmp_path):
     out = tmp_path / "runs"
     prof = tmp_path / "trace"

@@ -94,11 +94,31 @@ RTOL = 2e-4
 # ------------------------------------------------------------ exec harness
 
 
+# SHA-256 of the reviewed /root/reference/mfm_model.py checkout. The
+# oracle execs that file verbatim; executing an UNREVIEWED version would
+# hand it arbitrary code execution inside the test process, so any
+# content drift fails loudly instead of running.
+REFERENCE_SHA256 = (
+    "1cfdea07227d41d1f212f507ec627d52d63c157e102bf33376b31f40db60ad17"
+)
+
+
 @pytest.fixture(scope="module")
 def ref():
     """Exec the reference source with .cuda() pins neutralized."""
-    with open(REFERENCE) as f:
-        src = f.read()
+    import hashlib
+
+    with open(REFERENCE, "rb") as f:
+        raw = f.read()
+    digest = hashlib.sha256(raw).hexdigest()
+    if digest != REFERENCE_SHA256:
+        pytest.fail(
+            f"{REFERENCE} content hash {digest} != pinned "
+            f"{REFERENCE_SHA256}; refusing to exec an unreviewed "
+            "reference checkout. Re-review the file and update "
+            "REFERENCE_SHA256 if the change is legitimate."
+        )
+    src = raw.decode("utf-8")
     src = src.replace(".cuda()", "")
     ns = {"__name__": "reference_mfm_model"}
     exec(compile(src, REFERENCE, "exec"), ns)
