@@ -41,6 +41,7 @@ from factorized_tpu.parallel.multiseed import (
     _compile_run_epochs,
     _init_lane_programs,
     _Null,
+    data_fingerprint,
     prepare_bucket_data,
     sched_from_dicts,
     sched_to_dicts,
@@ -160,6 +161,7 @@ def train_config_bucket(
     program: Optional["ConfigBucketProgram"] = None,
     prep: Optional[dict] = None,
     params_on_device: bool = False,
+    defer_scoring: bool = False,
 ):
     """Train a BUCKET of same-shape configs — K = len(cfgs) *
     seeds_per_config lanes — as one vmapped program.
@@ -188,6 +190,15 @@ def train_config_bucket(
     Returns {"results": [per-lane {config_index, seed_index, metrics,
     best_valid}], "best_lane": int, "best_params": pytree} (+ "state"
     when ``return_state``).
+
+    ``defer_scoring=True`` (requires ``return_state``): skip the
+    end-of-call test-predict/score/rank for ALL K lanes — results carry
+    only ``best_valid`` and ``best_lane``/``best_params`` are None. The
+    evolving search uses this so intermediate rungs pay NO K-wide
+    test-set forward: a trial is scored exactly once, when it finishes
+    (culled or final rung), via :func:`score_bucket_lanes` — which also
+    matches the reference protocol of one test score per trial at end
+    of training (``mfm_mosi.py:481-499``).
     """
     logger = logger or RunLogger()
     sigs = {shape_signature(c) for c in cfgs}
@@ -212,6 +223,13 @@ def train_config_bucket(
         raise ValueError(
             "prep= was built for a different seed/batchsize/task than "
             "this bucket; rebuild it with prepare_bucket_data(...)")
+    elif prep.get("fingerprint") is not None and prep["fingerprint"] \
+            != data_fingerprint(X_train, X_valid, X_test, mesh):
+        raise ValueError(
+            "prep= was built from different dataset arrays (or a "
+            "different mesh) than the ones passed positionally — the "
+            "positional X/y args would be silently ignored. Rebuild it "
+            "with prepare_bucket_data(...) on THESE tensors/mesh.")
     Xb, yb = prep["Xb"], prep["yb"]
     Xv_d, yv_d = prep["Xv"], prep["yv"]
     Xte_d, yte = prep["Xte"], prep["yte"]
@@ -299,27 +317,34 @@ def train_config_bucket(
             history.append({"epoch": ep, "valids": validss[j].tolist()})
         e += n
 
+    state_out = {"params": params, "opt_state": opt_state,
+                 "sched": sched, "best": best,
+                 "best_stack": best_stack, "has_best": has_best}
+    best_h = np.asarray(best)
+    if defer_scoring:
+        if not return_state:
+            raise ValueError(
+                "defer_scoring=True requires return_state=True — the "
+                "caller must score finished lanes from the returned "
+                "state (score_bucket_lanes)")
+        results = [{"config_index": k // seeds_per_config,
+                    "seed_index": k % seeds_per_config,
+                    "best_valid": float(best_h[k])} for k in range(K)]
+        return {"results": results, "best_lane": None,
+                "best_params": None, "params": None, "history": history,
+                "state": state_out}
     # lanes that never recorded a best (possible only with 0 epochs or
     # right after a recycle) fall back to their live params
     eval_stack = program.select(jnp.asarray(has_best), best_stack, params)
     preds = np.asarray(program.predict(eval_stack, Xte_d))
-    best_h = np.asarray(best)
     # keyed on output_dim (which sets the model's predict shape), not
     # on the label array's ndim — (n, 1)-shaped scalar labels must not
     # trip the multi-trait path
     multi = rep.output_dim > 1 and rep.task == "regression"
     results = []
     for k in range(K):
-        if rep.task == "classification":
-            m = score_classification(preds[k], yte, out=_Null())
-        elif multi:
-            # multi-trait (POM/IEMOCAP-style) vector labels: per-trait
-            # lists plus a scalar mean-MAE the ranking below uses
-            m = score_multitrait(preds[k], yte, out=_Null())
-            m = {**m, "mae_mean": float(np.mean(m["mae"]))}
-        else:
-            m = score_regression(preds[k], yte, binary_threshold,
-                                 threshold_mode, out=_Null())
+        m = _score_pred(preds[k], yte, rep, binary_threshold,
+                        threshold_mode)
         results.append({
             "config_index": k // seeds_per_config,
             "seed_index": k % seeds_per_config,
@@ -358,10 +383,44 @@ def train_config_bucket(
            "best_params": pick_tree,
            "params": pick_tree, "history": history}
     if return_state:
-        out["state"] = {"params": params, "opt_state": opt_state,
-                        "sched": sched, "best": best,
-                        "best_stack": best_stack, "has_best": has_best}
+        out["state"] = state_out
     return out
+
+
+def _score_pred(pred, yte, rep, binary_threshold, threshold_mode):
+    """Score one lane's test predictions with the task-appropriate
+    metric set (classification / multi-trait / scalar regression)."""
+    if rep.task == "classification":
+        return score_classification(pred, yte, out=_Null())
+    if rep.output_dim > 1 and rep.task == "regression":
+        # multi-trait (POM/IEMOCAP-style) vector labels: per-trait
+        # lists plus a scalar mean-MAE the rankings use
+        m = score_multitrait(pred, yte, out=_Null())
+        return {**m, "mae_mean": float(np.mean(m["mae"]))}
+    return score_regression(pred, yte, binary_threshold, threshold_mode,
+                            out=_Null())
+
+
+def score_bucket_lanes(program, state, lanes, Xte_d, yte, rep,
+                       binary_threshold=0.0, threshold_mode="ge"):
+    """Test-score a SUBSET of bucket lanes from a (possibly deferred)
+    bucket ``state``: one gathered (len(lanes), ...) best-params stack,
+    one vmapped predict at subset width, metrics per lane.
+
+    Returns (metrics_list, sub_stack) where ``sub_stack`` is the
+    gathered on-device params stack — ``program.take_lane(sub_stack,
+    pos)`` pulls finished lane ``lanes[pos]``'s params without ever
+    materializing the full K-wide stack. The evolving search calls this
+    exactly once per FINISHED trial (cull time or final rung), so the
+    per-rung eval cost is O(n_finished), not O(K)."""
+    eval_stack = program.select(jnp.asarray(state["has_best"]),
+                                state["best_stack"], state["params"])
+    idxs = jnp.asarray(np.asarray(lanes, np.int32))
+    sub = program.take_lanes(eval_stack, idxs)
+    preds = np.asarray(program.predict(sub, Xte_d))
+    metrics = [_score_pred(preds[i], yte, rep, binary_threshold,
+                           threshold_mode) for i in range(len(lanes))]
+    return metrics, sub
 
 
 # ---- evolving (successive-halving-with-recycling) search ---------------
@@ -631,17 +690,10 @@ def train_evolving_search(
             threshold_mode=threshold_mode, valid_metric=valid_metric,
             mesh=mesh, state_in=state, return_state=True,
             key_salt=777 + rung, epoch_offset=rung * rep.num_epochs,
-            program=program, prep=prep, params_on_device=True)
+            program=program, prep=prep, params_on_device=True,
+            defer_scoring=True)
         state = out["state"]
         cfg_snapshot = [c.to_dict() for c in cfgs]
-
-        cand = out["results"][out["best_lane"]]
-        if overall is None or better(cand["metrics"][key_metric],
-                                     overall["metrics"][key_metric]):
-            overall = {"metrics": cand["metrics"],
-                       "best_valid": cand["best_valid"],
-                       "config": cfg_snapshot[cand["config_index"]],
-                       "rung": rung, "params": out["best_params"]}
 
         bv = np.asarray([r["best_valid"] for r in out["results"]])
         per_cfg = bv.reshape(n_configs, seeds_per_config)
@@ -649,29 +701,74 @@ def train_evolving_search(
                   else per_cfg.min(1))
         entry = {"rung": rung, "scores": scores.tolist(),
                  "culled": [], "configs": cfg_snapshot}
+        # decide the culls FIRST (by the valid metric, like the keeper):
+        # a trial is test-scored exactly ONCE — when it finishes, i.e.
+        # when its lanes are about to be recycled or at the last rung —
+        # so rung eval cost is O(finished), independent of K, and the
+        # protocol matches the reference's one-test-score-per-trial-at-
+        # end-of-training (mfm_mosi.py:481-499)
+        culled = []
         if rung < rungs - 1:
             n_cull = int(cull_frac * n_configs)
             if n_cull:
                 order = np.argsort(scores)
-                culled = (order[:n_cull] if valid_metric == "accuracy"
-                          else order[-n_cull:])
-                entry["culled"] = [int(c) for c in culled]
-                lanes, lrs_new = [], []
-                for ci in culled:
-                    new_cfg = resample_values(template, dataset, rng)
-                    cfgs[ci] = new_cfg
-                    explored += 1
-                    logger.record("config", **new_cfg.to_dict())
-                    for s in range(seeds_per_config):
-                        lanes.append(int(ci) * seeds_per_config + s)
-                        lrs_new.append(
-                            float(new_cfg.lr) if use_config_lr
-                            else (1e-3 if lr is None else lr))
-                recycle_lanes(state, lanes, cfg=rep, init=init, opt=opt,
-                              lrs_new=lrs_new,
-                              seed=seed + 1000 * (rung + 1),
-                              valid_metric=valid_metric,
-                              program=program)
+                culled = [int(c) for c in
+                          (order[:n_cull] if valid_metric == "accuracy"
+                           else order[-n_cull:])]
+                entry["culled"] = culled
+        finish_lanes = (list(range(K)) if rung == rungs - 1 else
+                        [ci * seeds_per_config + s for ci in culled
+                         for s in range(seeds_per_config)])
+        if finish_lanes:
+            metrics_list, sub = score_bucket_lanes(
+                program, state, finish_lanes, prep["Xte"], prep["yte"],
+                rep, binary_threshold, threshold_mode)
+
+            def rank_pos(p):
+                v = metrics_list[p][key_metric]
+                if not np.isfinite(v):
+                    return np.inf
+                return -v if maximize else v
+
+            pick_pos = min(range(len(finish_lanes)), key=rank_pos)
+            # multi-trait: the best finished lane's per-trait lists go
+            # top-level so `check --multitrait` aggregates evolve logs
+            # like the single-trainer ones
+            logger.record(
+                "final", per_lane=metrics_list,
+                lanes=finish_lanes,
+                best_lane=finish_lanes[pick_pos],
+                best_config_index=finish_lanes[pick_pos]
+                // seeds_per_config,
+                **(metrics_list[pick_pos] if multi else {}))
+            for pos, (lane, m) in enumerate(zip(finish_lanes,
+                                                metrics_list)):
+                if overall is None or better(m[key_metric],
+                                             overall["metrics"]
+                                             [key_metric]):
+                    overall = {
+                        "metrics": m, "best_valid": float(bv[lane]),
+                        "config": cfg_snapshot[lane // seeds_per_config],
+                        "rung": rung,
+                        "params": program.take_lane(
+                            sub, jnp.asarray(pos, jnp.int32))}
+        if culled:
+            lanes, lrs_new = [], []
+            for ci in culled:
+                new_cfg = resample_values(template, dataset, rng)
+                cfgs[ci] = new_cfg
+                explored += 1
+                logger.record("config", **new_cfg.to_dict())
+                for s in range(seeds_per_config):
+                    lanes.append(int(ci) * seeds_per_config + s)
+                    lrs_new.append(
+                        float(new_cfg.lr) if use_config_lr
+                        else (1e-3 if lr is None else lr))
+            recycle_lanes(state, lanes, cfg=rep, init=init, opt=opt,
+                          lrs_new=lrs_new,
+                          seed=seed + 1000 * (rung + 1),
+                          valid_metric=valid_metric,
+                          program=program)
         rung_logs.append(entry)
         logger.record("rung", **{k: v for k, v in entry.items()
                                  if k != "configs"})

@@ -48,6 +48,35 @@ def _take_lane(tree, i):
     return jax.tree.map(lambda a: a[i], tree)
 
 
+@jax.jit
+def _take_lanes(tree, idxs):
+    """Gather a SUBSET of lanes of a stacked (K, ...) tree as one
+    program (``idxs`` traced -> one compile per subset SIZE). The
+    evolving search uses this to test-score only the lanes whose trial
+    actually finished this rung instead of all K."""
+    return jax.tree.map(lambda a: a[idxs], tree)
+
+
+def data_fingerprint(X_train, X_valid, X_test, mesh):
+    """Cheap identity of (dataset arrays, mesh) for ``prep=`` reuse
+    validation: shapes + dtype + a hash of the leading rows of each
+    split, plus the mesh's device ids/axes. Catches a prep built from
+    different tensors or a different mesh being silently reused while
+    the positional data args are ignored."""
+    import hashlib
+
+    def sig(a):
+        a = np.asarray(a)
+        probe = np.ascontiguousarray(a[:2]).tobytes() if a.size else b""
+        return (tuple(a.shape), str(a.dtype),
+                hashlib.sha1(probe).hexdigest()[:16])
+
+    mesh_id = (None if mesh is None else
+               (tuple(int(d.id) for d in np.asarray(mesh.devices).flat),
+                tuple(mesh.axis_names)))
+    return (sig(X_train), sig(X_valid), sig(X_test), mesh_id)
+
+
 def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
                         y_test, rep, *, seed: int = 123, mesh=None):
     """Shuffle/batch/device-place the dataset ONCE for (possibly many)
@@ -59,6 +88,7 @@ def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
     each rung call measurably dominated the steady rung wall
     (scripts/evolve_probe.py), so the rung driver builds this once and
     passes it as ``prep=``."""
+    fingerprint = data_fingerprint(X_train, X_valid, X_test, mesh)
     X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
     Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1),
                               np.float32)
@@ -100,7 +130,8 @@ def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
         Xte_d = jax.device_put(Xte)
     return {"Xb": Xb, "yb": yb, "Xv": Xv_d, "yv": yv_d,
             "Xte": Xte_d, "yte": yte,
-            "seed": seed, "batchsize": rep.batchsize, "task": rep.task}
+            "seed": seed, "batchsize": rep.batchsize, "task": rep.task,
+            "fingerprint": fingerprint}
 
 
 def _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
@@ -182,6 +213,7 @@ def _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
 
     self.select = jax.jit(select)
     self.take_lane = _take_lane
+    self.take_lanes = _take_lanes
     self._pieces = (epoch, eval_v, predict_v, select)
     self._with_hps = with_hps
     self._run_cache = {}

@@ -172,6 +172,7 @@ class TestStateChaining:
 
 
 class TestEvolvingSearch:
+    @pytest.mark.slow
     def test_end_to_end_counts_and_best(self, program):
         data = _data()
         res = train_evolving_search(*data, CFG, "mosi", n_configs=4,
@@ -226,6 +227,7 @@ class TestEvolvingSearch:
 
 
 class TestEvolveMesh:
+    @pytest.mark.slow
     def test_evolve_on_lane_mesh_matches_unsharded(self, program):
         """Rung chaining + lane recycling under a lane-sharded mesh:
         same culls, same results as the unsharded run (the multi-chip
