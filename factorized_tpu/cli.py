@@ -61,16 +61,40 @@ DATASETS = {
 }
 
 
-def load_dataset(name, seqlength, data_root, split=None):
+def load_dataset(name, seqlength, data_root, split=None,
+                 feature_selection=True, normalize_covarep=False):
     from factorized_tpu.data import mmmo, mmsdk, mosi, moud, youtube
 
+    if not feature_selection or normalize_covarep:
+        if name != "mosi":
+            # the reference's -s/--feature_selection flag and the
+            # get_data_missing covarep normalization exist only on the
+            # MOSI lab-pickle pipeline (mfm_mosi.py:37,60-73,181-191)
+            flag = ("--feature-selection 0" if not feature_selection
+                    else "--normalize-covarep")
+            raise SystemExit(
+                f"{flag} only applies to the mosi dataset (reference "
+                f"mfm_mosi.py:37,60-73); got dataset={name!r}")
     if name == "mosei_sdk":
         return mmsdk.get_data(seqlength, data_root=data_root,
                               files=mmsdk.MOSEI_FILES, split=split)
     if name == "mosi_sdk":
         return mmsdk.get_data(seqlength, data_root=data_root, split=split)
-    mod = {"mosi": mosi, "moud": moud, "you": youtube, "mmmo": mmmo}[name]
+    if name == "mosi":
+        return mosi.get_data(seqlength, data_root=data_root,
+                             feature_selection=feature_selection,
+                             normalize_covarep=normalize_covarep)
+    mod = {"moud": moud, "you": youtube, "mmmo": mmmo}[name]
     return mod.get_data(seqlength, data_root=data_root)
+
+
+def _load_mosi(args, seqlength=20):
+    """MOSI load honoring the raw-feature flags
+    (``--feature-selection``/``--normalize-covarep``)."""
+    return load_dataset(
+        "mosi", seqlength, args.data_root,
+        feature_selection=bool(getattr(args, "feature_selection", 1)),
+        normalize_covarep=getattr(args, "normalize_covarep", False))
 
 
 def parse_split(arg):
@@ -112,14 +136,23 @@ def _seed_parallel_mesh(n_seeds):
     return make_mesh()
 
 
-def _dataset_info(name, data=None):
+def _dataset_info(name, data=None, args=None):
     """DATASETS entry, with input_dims patched from the loaded data's
     actual feature widths when the loader reports them (the SDK csd
-    loader returns an ``SdkSplits`` carrying ``input_dims``)."""
+    loader returns an ``SdkSplits`` carrying ``input_dims``), or from
+    the concatenated width on the raw MOSI path
+    (``--feature-selection 0``: text 300 + covarep 34 + full FACET,
+    mfm_mosi.py:60-73)."""
     info = DATASETS[name]
     dims = getattr(data, "input_dims", None)
     if dims:
         info = dict(info, input_dims=list(dims))
+    elif (name == "mosi" and args is not None
+          and not getattr(args, "feature_selection", 1)):
+        import numpy as np
+
+        w = int(np.asarray(data[0]).shape[2])
+        info = dict(info, input_dims=[300, 34, w - 334])
     return info
 
 
@@ -183,28 +216,35 @@ def dispatch_trainer(data, cfg, info, *, lr, logger, seed,
                      f"missing={cfg.missing} zeros={cfg.zeros}")
 
 
-def run_bucket_search(args, data, info, rng):
+def run_bucket_search(args, data, info, rng, sample_fn=None, prefix=None):
     """Shape-bucketed search: sample ``--trials`` configs, group them by
     compilation signature, and train each bucket as ONE vmapped program
     (x ``--seeds`` lanes per config) — the TPU-shaped form of the
     reference's one-model-at-a-time infinite search
-    (``mfm_mosi.py:1302-1369``). See docs/scaling.md."""
+    (``mfm_mosi.py:1302-1369``). See docs/scaling.md.
+
+    ``sample_fn``/``prefix`` let non-DATASETS surfaces (multitrait)
+    supply their own config draw and run-id prefix."""
     from factorized_tpu.parallel.multiconfig import (
         bucket_configs,
         train_config_bucket,
     )
+
+    prefix = prefix or args.dataset
+    if sample_fn is None:
+        def sample_fn():
+            cfg = sample_search_config(args.dataset, rng,
+                                       model_type=args.type,
+                                       missing=args.missing,
+                                       zeros=args.zeros)
+            return cfg.replace(input_dims=info["input_dims"])
 
     n = args.trials or 16  # --trials 0: run forever in rounds of 16
     round_i = 0
     while True:
         cfgs = []
         for _ in range(n):
-            cfg = sample_search_config(args.dataset, rng,
-                                       model_type=args.type,
-                                       missing=args.missing,
-                                       zeros=args.zeros)
-            if args.dataset in ("mosi_sdk", "mosei_sdk"):
-                cfg = cfg.replace(input_dims=info["input_dims"])
+            cfg = sample_fn()
             if args.epochs:
                 cfg = cfg.replace(num_epochs=args.epochs)
             if args.batchsize:
@@ -217,7 +257,7 @@ def run_bucket_search(args, data, info, rng):
         for bi, idxs in enumerate(buckets):
             bucket = [cfgs[i] for i in idxs]
             logger = RunLogger(args.out,
-                               run_id=f"{args.dataset}_r{round_i}b{bi}")
+                               run_id=f"{prefix}_r{round_i}b{bi}")
             # one "config" record per trial so check's per-file run
             # count mirrors the reference's `tot` counter
             for c in bucket:
@@ -300,9 +340,7 @@ def run_evolve_search(args, data, info, rng):
     def make_template():
         t = sample_search_config(args.dataset, rng, model_type=args.type,
                                  missing=args.missing, zeros=args.zeros)
-        if args.dataset in ("mosi_sdk", "mosei_sdk"):
-            t = t.replace(input_dims=info["input_dims"])
-        return t
+        return t.replace(input_dims=info["input_dims"])
 
     extra = ({"use_config_lr": True} if info["task"] == "classification"
              else {"lr": args.lr})
@@ -326,9 +364,12 @@ def run_dataset(args):
             f"{args.mode}); add --mode search or drop {flag}")
     base = (MFMConfig.from_json(args.config) if args.config
             else MFMConfig(seqlength=20))
-    data = load_dataset(args.dataset, base.seqlength, args.data_root,
-                        split=parse_split(args.split))
-    info = _dataset_info(args.dataset, data)
+    data = load_dataset(
+        args.dataset, base.seqlength, args.data_root,
+        split=parse_split(args.split),
+        feature_selection=bool(getattr(args, "feature_selection", 1)),
+        normalize_covarep=getattr(args, "normalize_covarep", False))
+    info = _dataset_info(args.dataset, data, args)
     rng = random.Random(args.seed)
     if args.mode == "search" and args.evolve:
         return run_evolve_search(args, data, info, rng)
@@ -342,9 +383,10 @@ def run_dataset(args):
                                        model_type=args.type,
                                        missing=args.missing,
                                        zeros=args.zeros)
-            if args.dataset in ("mosi_sdk", "mosei_sdk"):
-                # csd feature widths differ from the lab pickles
-                cfg = cfg.replace(input_dims=info["input_dims"])
+            # info carries the ACTUAL feature widths (sdk csd files /
+            # raw --feature-selection 0 path); dataset dims are fixed
+            # otherwise, so the replace is a no-op there
+            cfg = cfg.replace(input_dims=info["input_dims"])
         elif args.mode == "best":
             cfg = best_acc_mosi_config(model_type=args.type,
                                        missing=args.missing,
@@ -353,6 +395,8 @@ def run_dataset(args):
                 cfg = cfg.replace(input_dims=info["input_dims"],
                                   output_dim=info["output_dim"],
                                   task=info["task"])
+            else:
+                cfg = cfg.replace(input_dims=info["input_dims"])
         else:  # single
             cfg = base.replace(model_type=args.type, missing=args.missing,
                                zeros=args.zeros,
@@ -439,10 +483,11 @@ def run_mosi_acc(args):
             "dataset subcommands (e.g. `mosi --mode search "
             f"{flag} ...`) or scripts/release_best.py --evolve for the "
             "classification search")
-    data = list(load_dataset("mosi", 20, args.data_root))
+    data = list(_load_mosi(args))
     # binarize labels (mfm_mosi_acc.py:505-508)
     for i in (1, 3, 5):
         data[i] = (data[i] >= 0).astype(np.int64)
+    raw_dims = _dataset_info("mosi", data, args)["input_dims"]
     rng = random.Random(args.seed)
     base = (MFMConfig.from_json(args.config) if args.config
             else best_acc_mosi_config())
@@ -454,6 +499,7 @@ def run_mosi_acc(args):
             cfg = best_acc_mosi_config()
         else:  # single: the provided config (or pinned default)
             cfg = base
+        cfg = cfg.replace(input_dims=raw_dims)
         if args.epochs:
             cfg = cfg.replace(num_epochs=args.epochs)
         if args.batchsize:
@@ -511,7 +557,7 @@ def run_test_mosi(args):
 
     import numpy as np
 
-    data = load_dataset("mosi", 20, args.data_root)
+    data = _load_mosi(args)
     _, _, _, _, X_test, y_test = data
     predictor = Predictor.from_checkpoint(args.checkpoint)
     if args.autotune:
@@ -537,8 +583,11 @@ def run_predictor(args):
     (``test_mosi.py`` searches, ``test_attention.py``)."""
     from factorized_tpu.config import best_mfn_mosi_config
 
-    data = load_dataset(args.dataset, 20, args.data_root)
-    info = _dataset_info(args.dataset, data)
+    data = load_dataset(
+        args.dataset, 20, args.data_root,
+        feature_selection=bool(getattr(args, "feature_selection", 1)),
+        normalize_covarep=getattr(args, "normalize_covarep", False))
+    info = _dataset_info(args.dataset, data, args)
     rng = random.Random(args.seed)
     trial = 0
     while True:
@@ -624,8 +673,9 @@ def run_serve(args):
 
 
 def run_test_attention(args):
-    data = load_dataset("mosi", 20, args.data_root)
-    cfg = MFMConfig(input_dims=[300, 5, 20],
+    data = _load_mosi(args)
+    cfg = MFMConfig(input_dims=_dataset_info("mosi", data,
+                                             args)["input_dims"],
                     batchsize=args.batchsize or 128,
                     num_epochs=args.epochs or 100)
     logger = RunLogger(args.out, run_id="self_attention")
@@ -664,14 +714,16 @@ def run_multitrait(args):
     and ``--style pom_sdk`` (the 17 POM speaker-trait columns,
     reference surface ``mfm_mmmo.py:33-345`` + ``check.py:226-250``)."""
     # flag validation BEFORE the (possibly multi-GB csd) data load
-    if args.bucket:
+    if not args.feature_selection or args.normalize_covarep:
         raise SystemExit(
-            "--bucket is not wired to the multitrait surface; use "
-            "--evolve (successive-halving value search) instead")
-    if args.evolve and args.mode != "search":
+            "--feature-selection 0/--normalize-covarep only apply to "
+            "the mosi dataset (reference mfm_mosi.py:37,60-73); the "
+            "multitrait surface has no raw-feature path")
+    if (args.evolve or args.bucket) and args.mode != "search":
+        flag = "--evolve" if args.evolve else "--bucket"
         raise SystemExit(
-            f"--evolve only applies to --mode search (got --mode "
-            f"{args.mode}); add --mode search or drop --evolve")
+            f"{flag} only applies to --mode search (got --mode "
+            f"{args.mode}); add --mode search or drop {flag}")
     from factorized_tpu.data import multitrait
 
     base = (MFMConfig.from_json(args.config) if args.config
@@ -693,6 +745,24 @@ def run_multitrait(args):
     rng = random.Random(args.seed)
     if args.mode == "search" and args.evolve:
         return run_multitrait_evolve(args, data, input_dims, rng)
+    if args.mode == "search" and args.bucket:
+        # shape-bucketed vmapped search over the multi-trait surface
+        # (reference POM/IEMOCAP search family, check.py:128-164):
+        # sample from the mmmo space, pin the vector output head
+        import numpy as np
+
+        n_traits = int(np.asarray(data[1]).shape[1])
+        info_mt = dict(task="regression", threshold=None, mode="ge",
+                       input_dims=list(input_dims), output_dim=n_traits)
+
+        def sample_mt():
+            return sample_search_config("mmmo", rng,
+                                        model_type=args.type).replace(
+                input_dims=list(input_dims), task="regression",
+                output_dim=n_traits)
+
+        return run_bucket_search(args, data, info_mt, rng,
+                                 sample_fn=sample_mt, prefix=args.style)
     trial = 0
     while True:
         if args.mode == "search":
@@ -770,6 +840,16 @@ def build_parser():
         sp.add_argument("--lr", type=float, default=None)
         sp.add_argument("--seed", type=int, default=123)
         sp.add_argument("--data-root", default=None)
+        sp.add_argument("--feature-selection", type=int, choices=(0, 1),
+                        default=1, metavar="{0,1}",
+                        help="mosi only: 1 = fs_mask-selected covarep/"
+                             "facet columns (default, reference -s 1); "
+                             "0 = raw covarep cols 1:35 + full FACET "
+                             "(mfm_mosi.py:37,60-73)")
+        sp.add_argument("--normalize-covarep", action="store_true",
+                        help="mosi only: max-abs normalize covarep by "
+                             "train stats like the reference's "
+                             "get_data_missing (mfm_mosi.py:181-191)")
         sp.add_argument("--split", default=None, metavar="N_TRAIN,N_VALID",
                         help="video-count split for the SDK csd "
                              "datasets (default: MOSI's 52,10 when the "

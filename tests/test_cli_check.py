@@ -126,6 +126,49 @@ class TestCLI:
         summary = check_dir(str(tmp_path / "runs"), out=lambda *a: None)
         assert any("acc" in v for v in summary.values())
 
+    @pytest.mark.slow
+    def test_cli_mosi_raw_feature_path(self, tmp_path, capsys):
+        """--feature-selection 0 trains end-to-end on the raw covarep
+        1:35 + full-FACET path (reference -s 0, mfm_mosi.py:37,60-73)
+        with input_dims picked up from the actual feature widths."""
+        from factorized_tpu.cli import main
+
+        cfg = {"seqlength": 4, "h_dims": [8, 8, 8], "memsize": 8,
+               "zy_size": 8, "zl_size": 8, "za_size": 8, "zv_size": 8,
+               "fy_size": 8, "fl_size": 8, "fa_size": 8, "fv_size": 8,
+               "att1_shape": 8, "att2_shape": 8, "gamma1_shape": 8,
+               "gamma2_shape": 8, "out_shape": 8,
+               "batchsize": 32, "num_epochs": 1}
+        cfg_path = tmp_path / "tiny.json"
+        cfg_path.write_text(json.dumps(cfg))
+        rc = main([
+            "mosi", "--config", str(cfg_path), "--mode", "single",
+            "--type", "mfm", "--feature-selection", "0",
+            "--normalize-covarep", "--out", str(tmp_path / "runs"),
+        ])
+        assert rc == 0
+        runs = [f for f in os.listdir(tmp_path / "runs")
+                if f.endswith(".jsonl")]
+        assert runs
+        with open(tmp_path / "runs" / runs[0]) as f:
+            cfgs = [json.loads(l) for l in f
+                    if json.loads(l).get("kind") == "config"]
+        # synthetic raw widths: covarep 1:35 -> 34, full FACET = 43
+        assert cfgs[0]["input_dims"] == [300, 34, 43]
+
+    def test_cli_raw_flags_refused_off_mosi(self, tmp_path):
+        from factorized_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="only applies to the mosi"):
+            main(["moud", "--mode", "single",
+                  "--feature-selection", "0",
+                  "--out", str(tmp_path / "runs")])
+        with pytest.raises(SystemExit, match="only apply to"):
+            main(["multitrait", "--style", "pom", "--epochs", "1",
+                  "--normalize-covarep",
+                  "--out", str(tmp_path / "runs")])
+
+    @pytest.mark.slow
     def test_cli_search_sampling_distinct(self, tmp_path):
         from factorized_tpu.cli import main
 

@@ -113,6 +113,7 @@ class TestTracedHpEqualsStatic:
         out = dropout(jax.random.PRNGKey(0), x, jnp.float32(0.0), True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
 
+    @pytest.mark.slow
     def test_pallas_path_accepts_traced_rates(self):
         """The Pallas mega-kernel's precomputed masks work with traced
         rates (interpret mode on CPU)."""
@@ -284,15 +285,45 @@ class TestMultitraitBucket:
         assert len(res["best"]["metrics"]["mae"]) == 3
         assert np.isfinite(res["best"]["metrics"]["mae_mean"])
 
-    def test_cli_multitrait_refuses_unwired_flags(self, tmp_path):
+    def test_cli_multitrait_refuses_search_flags_off_search(self,
+                                                            tmp_path):
         from factorized_tpu.cli import main
 
-        with pytest.raises(SystemExit, match="not wired"):
-            main(["multitrait", "--mode", "search", "--bucket",
+        with pytest.raises(SystemExit, match="--mode search"):
+            main(["multitrait", "--mode", "single", "--bucket",
                   "--out", str(tmp_path)])
         with pytest.raises(SystemExit, match="--mode search"):
             main(["multitrait", "--mode", "single", "--evolve", "2",
                   "--out", str(tmp_path)])
+
+    def test_cli_multitrait_bucket_plumbing(self, monkeypatch, tmp_path):
+        """--bucket routes the multitrait surface through the shared
+        shape-bucket search with vector-output mmmo-space draws (no
+        real training: the bucket trainer is stubbed)."""
+        import factorized_tpu.cli as cli
+        import factorized_tpu.parallel.multiconfig as mc
+
+        seen = {"buckets": []}
+
+        def fake_bucket(*data, **kw):
+            bucket = data[6]
+            seen["buckets"].append(bucket)
+            seen["kw"] = kw
+            return {"results": [], "best_lane": 0, "best_params": None,
+                    "params": None, "history": []}
+
+        monkeypatch.setattr(mc, "train_config_bucket", fake_bucket)
+        rc = cli.main(["multitrait", "--mode", "search", "--bucket",
+                       "--trials", "3", "--epochs", "1",
+                       "--out", str(tmp_path)])
+        assert rc == 0
+        cfgs = [c for b in seen["buckets"] for c in b]
+        assert len(cfgs) == 3
+        assert all(c.task == "regression" and c.output_dim > 1
+                   for c in cfgs)
+        # regression surface: lr rides --lr (default None -> 1e-3), not
+        # the config draw
+        assert "lr" in seen["kw"] and "use_config_lr" not in seen["kw"]
 
     def test_cli_multitrait_evolve_plumbing(self, monkeypatch, tmp_path):
         """--evolve routes to train_evolving_search with a vector-output
