@@ -91,6 +91,21 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None,
                         seen.append(vid)
             video_ids = seen
         else:
+            # The 48/10/rest split membership is DEFINED by first-seen
+            # order in spanish_text.csv (mfm_moud.py:83-107). Falling
+            # back to pickle dict order silently changes which videos
+            # land in train/valid/test — warn loudly so a real-data run
+            # can't mistake this for the reference split.
+            import warnings
+
+            warnings.warn(
+                f"MOUD: {csv_path} not found — falling back to pickle "
+                "dict order for the 48/10/rest video split. This split "
+                "does NOT match the reference (mfm_moud.py:83-107), "
+                "whose membership comes from first-seen order in "
+                "spanish_text.csv. Provide that file for parity.",
+                stacklevel=2,
+            )
             video_ids = list(text_dict.keys())
     else:
         text_dict, audio_dict, video_dict, labels = synthetic.synthetic_dicts(

@@ -93,8 +93,26 @@ def make_mesh(n_devices: Optional[int] = None,
         )
     devices = np.asarray(devices[:n])
     if shape is None:
-        shape = (n,) if len(axes) == 1 else (n // 2, 2)
+        shape = (n,) if len(axes) == 1 else _default_2d_shape(n, axes)
     return Mesh(devices.reshape(shape), axes)
+
+
+def _default_2d_shape(n: int, axes) -> tuple:
+    """Default 2-axis mesh split: prefer ``(n//2, 2)``; for odd
+    composite ``n`` use the smallest odd factor; refuse loudly for
+    prime ``n>2`` instead of letting numpy reshape throw a raw error."""
+    if n % 2 == 0:
+        return (n // 2, 2)
+    p = next((f for f in range(3, int(n ** 0.5) + 1, 2) if n % f == 0),
+             None)
+    if p is None:
+        raise ValueError(
+            f"make_mesh: cannot pick a default 2-D shape for "
+            f"axes={tuple(axes)} over {n} devices ({n} is prime). "
+            f"Pass shape=(a, b) with a*b == {n} explicitly, or use a "
+            "device count that factors (e.g. n_devices=n-1)."
+        )
+    return (n // p, p)
 
 
 class DataParallel:

@@ -98,6 +98,21 @@ class TestDataParallel:
         with pytest.raises(ValueError, match="xla_force_host_platform"):
             make_mesh(999)
 
+    def test_mesh_default_2d_shapes(self):
+        """Default 2-axis split: even n -> (n//2, 2); odd composite n
+        factors; prime n refuses loudly (not a raw numpy reshape
+        error)."""
+        from factorized_tpu.parallel.sharding import _default_2d_shape
+
+        mesh = make_mesh(8, axes=("seed", "data"))
+        assert mesh.shape["seed"] == 4 and mesh.shape["data"] == 2
+        assert _default_2d_shape(6, ("a", "b")) == (3, 2)
+        assert _default_2d_shape(9, ("a", "b")) == (3, 3)
+        assert _default_2d_shape(15, ("a", "b")) == (5, 3)
+        for n in (3, 5, 7):
+            with pytest.raises(ValueError, match="prime"):
+                make_mesh(n, axes=("seed", "data"))
+
 
 class TestTensorParallel:
     """The 2-D ('data','model') TP path: assert the listed decoder
@@ -218,6 +233,7 @@ class TestSeedParallel:
             data.extend([X, y])
         return data, dims
 
+    @pytest.mark.slow
     def test_seed_sharded_matches_unsharded(self):
         from factorized_tpu.parallel.multiseed import train_mfm_multiseed
         from factorized_tpu.utils.logging import RunLogger
@@ -234,6 +250,7 @@ class TestSeedParallel:
             assert abs(a["metrics"]["mae"] - b["metrics"]["mae"]) < 5e-3
             assert abs(a["best_valid"] - b["best_valid"]) < 5e-3
 
+    @pytest.mark.slow
     def test_seed_count_must_divide_mesh(self):
         from factorized_tpu.parallel.multiseed import train_mfm_multiseed
         from factorized_tpu.utils.logging import RunLogger
@@ -245,6 +262,7 @@ class TestSeedParallel:
                                 logger=RunLogger(echo=False),
                                 mesh=make_mesh(8))
 
+    @pytest.mark.slow
     def test_seed_by_batch_2d_mesh_matches_unsharded(self):
         """('seed', 'batch') mesh: each seed trains data-parallel over
         the spare devices (XLA inserts the per-seed grad psum) — for
@@ -279,6 +297,7 @@ class TestSeedParallel:
 
 
 class TestMultiSeedAcc:
+    @pytest.mark.slow
     def test_accuracy_semantics(self):
         from factorized_tpu.parallel.multiseed import train_mfm_multiseed
         from factorized_tpu.utils.logging import RunLogger
