@@ -19,6 +19,10 @@ from factorized_tpu.utils.logging import RunLogger
 
 from test_training import tiny_cfg, tiny_data
 
+# every parity test compiles TWO loop programs per trainer (~1-2 min
+# each) — the single biggest block of suite wall time
+pytestmark = pytest.mark.slow
+
 quiet = lambda: RunLogger(echo=False)
 
 # small chunk: multi-chunk carry threading is exercised with ONE

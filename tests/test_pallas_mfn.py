@@ -91,6 +91,7 @@ class TestEncodeKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=2e-5)
 
+    @pytest.mark.slow
     def test_dropout_statistics(self, force_pallas):
         """Train-mode dropout uses the TPU PRNG — verify the masks scale
         activations correctly on average (not bitwise vs threefry)."""
@@ -191,6 +192,7 @@ class TestKernelsActiveAtProductionConfig:
 
 
 class TestVmappedGrads:
+    @pytest.mark.slow
     def test_vmapped_grads_match_scan(self, force_pallas):
         """The multiseed trainer vmaps the train step over seeds; the
         streamed backward kernel reads pl.program_id(0) for TIME, and

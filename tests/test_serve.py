@@ -168,6 +168,7 @@ class TestPredictor:
 
 
 class TestMfnPredictorServing:
+    @pytest.mark.slow
     def test_mfn_baseline_checkpoint_serves(self, tmp_path):
         """The standalone MFN predictor (the reference's released
         mfn_mae.pt family) round-trips CLI --save-ckpt -> Predictor."""
@@ -395,6 +396,7 @@ class TestResume:
                                         logger=quiet, resume_from=ck)
         assert len(res2["history"]) == 2 and res2["step"] == 4
 
+    @pytest.mark.slow
     def test_ckpt_every_autosnapshot_roundtrip(self, tmp_path):
         """--ckpt-every writes a crash-resume checkpoint mid-run that
         --resume can continue from with absolute step numbering."""
@@ -435,6 +437,7 @@ class TestResume:
         # resumed run saved at absolute epochs 4 (2+2) -> step 4
         assert meta2["step"] == 4
 
+    @pytest.mark.slow
     def test_cli_resume_multiseed_missing_ckpt_fails_loudly(self, tmp_path):
         """--resume with --seeds > 1 is SUPPORTED since round 3
         (tests/test_multiseed_resume.py proves resumed == uninterrupted);
@@ -447,6 +450,7 @@ class TestResume:
                   "--resume", str(tmp_path / "nope"),
                   "--epochs", "1", "--out", str(tmp_path / "runs")])
 
+    @pytest.mark.slow
     def test_resume_beta_vae_stages(self, tmp_path):
         """Two-stage resume: a checkpoint with total-epoch step lands in
         the right stage with the right number of epochs left."""
