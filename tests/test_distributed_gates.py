@@ -1,6 +1,8 @@
 """Distributed hardening (VERDICT r2 items 6+8): tensor-parallel rules
 must never silently replicate, and the multi-host bootstrap's flag
-plumbing is unit-tested (it cannot be integration-tested on one host).
+plumbing is unit-tested here with mocks. The REAL 2-process integration
+(jax.distributed + localhost coordinator + cross-process collectives)
+lives in tests/test_multiprocess.py.
 """
 
 import jax
