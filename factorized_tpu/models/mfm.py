@@ -69,18 +69,11 @@ def _zf_all(params, zy, zl, za, zv, cfg, key, train):
     z_dims = [z.shape[1] for z in zs]
     f_dims = [zf[n]["fc2"]["w"].shape[1] for n in names]
 
-    def blockdiag(mats, rows, cols):
-        out = jnp.zeros((sum(rows), sum(cols)), mats[0].dtype)
-        r = c = 0
-        for m, rr, cc in zip(mats, rows, cols):
-            out = jax.lax.dynamic_update_slice(out, m, (r, c))
-            r += rr
-            c += cc
-        return out
+    from factorized_tpu.ops.fused import blockdiag
 
-    w1 = blockdiag([zf[n]["fc1"]["w"] for n in names], z_dims, f_dims)
+    w1 = blockdiag([zf[n]["fc1"]["w"] for n in names], f_dims)
     b1 = jnp.concatenate([zf[n]["fc1"]["b"] for n in names])
-    w2 = blockdiag([zf[n]["fc2"]["w"] for n in names], f_dims, f_dims)
+    w2 = blockdiag([zf[n]["fc2"]["w"] for n in names], f_dims)
     b2 = jnp.concatenate([zf[n]["fc2"]["b"] for n in names])
 
     z_cat = jnp.concatenate(zs, axis=1)

@@ -47,23 +47,41 @@ def _pallas_ok(fits: bool) -> bool:
     return fits and _jax.default_backend() == "tpu"
 
 
+def blockdiag(mats: Sequence[jnp.ndarray], cols: Sequence[int]):
+    """Plain block-diagonal assembly via pad+concat.
+
+    Each block is padded to the full column width at its offset and the
+    row strips concatenated — XLA lowers this to ONE write of the output
+    buffer. The equivalent dynamic_update_slice chain into a zeros
+    buffer is NOT fused inside the whole-epoch program: the optimized
+    HLO keeps one full-buffer DUS op per block (measured r4,
+    scripts/dus_attribution_probe.py — 5.7 ms/epoch, ~35% of the
+    16.5 ms device epoch, all from weight assembly)."""
+    c_tot = sum(cols)
+    strips = []
+    c = 0
+    for m, cc in zip(mats, cols):
+        strips.append(jnp.pad(m, ((0, 0), (c, c_tot - c - cc))))
+        c += cc
+    return jnp.concatenate(strips, axis=0)
+
+
 def gate_major_blockdiag(mats: Sequence[jnp.ndarray], h_dims: Sequence[int]):
     """Per-cell (d_i, 4*h_i) weights -> (sum_d, 4*sum_h) block-diagonal
-    with gate-major column layout."""
-    d_tot = sum(m.shape[0] for m in mats)
+    with gate-major column layout. Pad+concat, not a DUS chain — see
+    ``blockdiag``."""
     h_tot = sum(h_dims)
-    out = jnp.zeros((d_tot, 4 * h_tot), mats[0].dtype)
-    row = 0
+    strips = []
     col = 0
     for m, h in zip(mats, h_dims):
-        d = m.shape[0]
-        for g in range(4):
-            out = jax.lax.dynamic_update_slice(
-                out, m[:, g * h : (g + 1) * h], (row, g * h_tot + col)
-            )
-        row += d
+        gates = [
+            jnp.pad(m[:, g * h : (g + 1) * h],
+                    ((0, 0), (col, h_tot - col - h)))
+            for g in range(4)
+        ]
+        strips.append(jnp.concatenate(gates, axis=1))
         col += h
-    return out
+    return jnp.concatenate(strips, axis=0)
 
 
 def gate_major_bias(biases: Sequence[jnp.ndarray], h_dims: Sequence[int]):
@@ -178,12 +196,7 @@ def fused_decoder_scan(dec_params: Sequence[dict], hTs: Sequence[jnp.ndarray],
     # one block-diagonal output projection (h_tot, sum_d)
     d_dims = [p["fc1"]["w"].shape[1] for p in dec_params]
     d_tot = sum(d_dims)
-    w_out = jnp.zeros((h_tot, d_tot), dtype)
-    ro = co = 0
-    for p, h, d in zip(dec_params, h_dims, d_dims):
-        w_out = jax.lax.dynamic_update_slice(w_out, p["fc1"]["w"], (ro, co))
-        ro += h
-        co += d
+    w_out = blockdiag([p["fc1"]["w"] for p in dec_params], d_dims)
     b_out = jnp.concatenate([p["fc1"]["b"] for p in dec_params])
     recon = (all_h.reshape(t * n, h_tot) @ w_out + b_out).reshape(t, n, d_tot)
     return split_heads(recon, d_dims)
