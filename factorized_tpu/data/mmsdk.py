@@ -263,9 +263,29 @@ def _stack_split(videos, seqlength):
             np.asarray(labels, np.float32))
 
 
+def _cache_path(data_root, paths, seqlength, label_mode, split,
+                normalize_covarep):
+    """Content-keyed cache file for the aligned/split arrays.
+
+    The key hashes each csd's (name, size, mtime_ns) plus every
+    argument that changes the output, so editing/replacing a csd or
+    changing the split invalidates automatically."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:"
+                 f"{st.st_mtime_ns};".encode())
+    h.update(f"{seqlength}|{label_mode}|{split}|"
+             f"{normalize_covarep}|v1".encode())
+    return os.path.join(data_root, ".factorized_cache",
+                        h.hexdigest()[:20] + ".npz")
+
+
 def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
              split=None, normalize_covarep: bool = False,
-             label_mode: str = "scalar"):
+             label_mode: str = "scalar", cache: bool = True):
     """-> (X_train, y_train, X_valid, y_valid, X_test, y_test), X
     batch-major (n, t, d_total = text+audio+visual), exactly the shape
     contract of :func:`factorized_tpu.data.mosi.get_data`. With
@@ -285,6 +305,27 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
         raise FileNotFoundError(
             "mosi_sdk needs --data-root pointing at CMU-MultimodalSDK "
             ".csd files (public download; see DEFAULT_FILES)")
+
+    # word alignment reads ~2 datasets per segment per modality through
+    # h5py — at MOSEI scale (22k segments) that is ~180k object opens
+    # and minutes of single-core host time, so the aligned/split arrays
+    # are cached on disk keyed by csd (size, mtime) + every argument
+    cache_file = None
+    if cache:
+        f_all = dict(DEFAULT_FILES)
+        if files:
+            f_all.update(files)
+        paths = [os.path.join(data_root, v) for v in f_all.values()]
+        if all(os.path.exists(p) for p in paths):
+            cache_file = _cache_path(data_root, paths, seqlength,
+                                     label_mode, split, normalize_covarep)
+            if os.path.exists(cache_file):
+                z = np.load(cache_file)
+                return SdkSplits(
+                    tuple(z[k] for k in ("X_train", "y_train", "X_valid",
+                                         "y_valid", "X_test", "y_test")),
+                    input_dims=z["input_dims"].tolist(),
+                )
 
     by_vid = load_segments(data_root, files, label_mode=label_mode)
     vids = sorted(by_vid.items(), key=lambda kv: kv[0])
@@ -318,9 +359,19 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
     def build(t, c, f):
         return np.concatenate([t, c, f], axis=2).astype(np.float32)
 
-    return SdkSplits(
+    out = SdkSplits(
         (build(te_tr, co_tr, fa_tr), y_tr,
          build(te_va, co_va, fa_va), y_va,
          build(te_te, co_te, fa_te), y_te),
         input_dims=[te_tr.shape[2], co_tr.shape[2], fa_tr.shape[2]],
     )
+    if cache_file is not None:
+        os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+        tmp = cache_file + ".tmp"
+        np.savez(tmp, X_train=out[0], y_train=out[1], X_valid=out[2],
+                 y_valid=out[3], X_test=out[4], y_test=out[5],
+                 input_dims=np.asarray(out.input_dims))
+        # np.savez appends .npz to names without it
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
+                   cache_file)
+    return out

@@ -446,3 +446,51 @@ class TestMalformedFiles:
         out = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
         aud = out[0][0, :, 6:10]  # first train segment's audio block
         np.testing.assert_array_equal(aud, 0.0)
+
+
+class TestDiskCache:
+    """get_data caches the aligned/split arrays on disk (MOSEI-scale
+    alignment is minutes of single-core h5py traversal); the key hashes
+    csd (size, mtime) + every output-shaping argument."""
+
+    def test_cache_roundtrip_identical(self, tmp_path):
+        root = make_fixture(tmp_path)
+        first = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        cache_dir = f"{root}/.factorized_cache"
+        import os
+        assert len(os.listdir(cache_dir)) == 1
+        second = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a, b)
+        assert second.input_dims == first.input_dims
+
+    def test_cache_rebuilds_when_csd_changes(self, tmp_path):
+        root = make_fixture(tmp_path)
+        first = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        # rewrite the labels csd with shifted values: a stale cache
+        # would return the OLD labels
+        path = f"{root}/CMU_MOSI_Opinion_Labels.csd"
+        with h5py.File(path, "a") as f:
+            rootname = list(f.keys())[0]
+            for seg in f[rootname]["data"]:
+                f[rootname]["data"][seg]["features"][...] += 1.0
+        import os
+        os.utime(path)  # ensure mtime_ns moves even on coarse clocks
+        second = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        np.testing.assert_allclose(np.asarray(second[1]),
+                                   np.asarray(first[1]) + 1.0, atol=1e-6)
+
+    def test_distinct_args_distinct_entries(self, tmp_path):
+        root = make_fixture(tmp_path)
+        a = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        b = mmsdk.get_data(seqlength=4, data_root=root, split=(2, 1))
+        import os
+        assert len(os.listdir(f"{root}/.factorized_cache")) == 2
+        assert a[0].shape[1] == 5 and b[0].shape[1] == 4
+
+    def test_cache_false_bypasses(self, tmp_path):
+        root = make_fixture(tmp_path)
+        mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1),
+                       cache=False)
+        import os
+        assert not os.path.exists(f"{root}/.factorized_cache")
