@@ -43,9 +43,15 @@ class Predictor:
         _, apply_fn = get_model(name)
         self._name = name
 
+        # weights are frozen at serving time: close over them so they
+        # trace as compile-time constants — XLA folds the block-diagonal
+        # weight assembly (ops/fused.py) and the decoder's wx+wh sum
+        # once at compile instead of on every forward
+        params_dev = jax.device_put(params)
+
         @jax.jit
-        def fwd(params, x):
-            out = apply_fn(params, x, cfg, key=jax.random.PRNGKey(0),
+        def fwd_const(x):
+            out = apply_fn(params_dev, x, cfg, key=jax.random.PRNGKey(0),
                            train=False)
             # the standalone MFN predictor returns predictions directly
             # (the reference's released mfn_mae.pt model family,
@@ -55,7 +61,9 @@ class Predictor:
             return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
                     else y_hat)
 
-        self._fwd = fwd
+        # keep the (params, x) call shape predict/probe/export share
+        # with ExportedPredictor; the runtime params arg is ignored
+        self._fwd = lambda params, x: fwd_const(x)
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw):
