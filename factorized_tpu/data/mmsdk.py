@@ -263,19 +263,22 @@ def _stack_split(videos, seqlength):
             np.asarray(labels, np.float32))
 
 
-def _cache_path(data_root, paths, seqlength, label_mode, split,
+def _cache_path(data_root, kind_paths, seqlength, label_mode, split,
                 normalize_covarep):
     """Content-keyed cache file for the aligned/split arrays.
 
-    The key hashes each csd's (name, size, mtime_ns) plus every
-    argument that changes the output, so editing/replacing a csd or
-    changing the split invalidates automatically."""
+    The key hashes each csd's (KIND, name, size, mtime_ns) — the
+    modality binding matters: the same file set bound to swapped
+    modalities must not collide — plus every argument that changes the
+    output, so editing/replacing a csd or changing the split
+    invalidates automatically."""
     import hashlib
 
     h = hashlib.sha256()
-    for p in sorted(paths):
+    for kind in sorted(kind_paths):
+        p = kind_paths[kind]
         st = os.stat(p)
-        h.update(f"{os.path.basename(p)}:{st.st_size}:"
+        h.update(f"{kind}={os.path.basename(p)}:{st.st_size}:"
                  f"{st.st_mtime_ns};".encode())
     h.update(f"{seqlength}|{label_mode}|{split}|"
              f"{normalize_covarep}|v1".encode())
@@ -315,9 +318,10 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
         f_all = dict(DEFAULT_FILES)
         if files:
             f_all.update(files)
-        paths = [os.path.join(data_root, v) for v in f_all.values()]
-        if all(os.path.exists(p) for p in paths):
-            cache_file = _cache_path(data_root, paths, seqlength,
+        kind_paths = {k: os.path.join(data_root, v)
+                      for k, v in f_all.items()}
+        if all(os.path.exists(p) for p in kind_paths.values()):
+            cache_file = _cache_path(data_root, kind_paths, seqlength,
                                      label_mode, split, normalize_covarep)
             if os.path.exists(cache_file):
                 z = np.load(cache_file)

@@ -201,6 +201,13 @@ def train_config_bucket(
     of training (``mfm_mosi.py:481-499``).
     """
     logger = logger or RunLogger()
+    if defer_scoring and not return_state:
+        # pure argument validation: fail BEFORE training, not after the
+        # whole loop has run and the work would be discarded
+        raise ValueError(
+            "defer_scoring=True requires return_state=True — the "
+            "caller must score finished lanes from the returned "
+            "state (score_bucket_lanes)")
     sigs = {shape_signature(c) for c in cfgs}
     if len(sigs) != 1:
         raise ValueError(
@@ -224,7 +231,8 @@ def train_config_bucket(
             "prep= was built for a different seed/batchsize/task than "
             "this bucket; rebuild it with prepare_bucket_data(...)")
     elif prep.get("fingerprint") is not None and prep["fingerprint"] \
-            != data_fingerprint(X_train, X_valid, X_test, mesh):
+            != data_fingerprint(X_train, X_valid, X_test, mesh,
+                                y_train, y_valid, y_test):
         raise ValueError(
             "prep= was built from different dataset arrays (or a "
             "different mesh) than the ones passed positionally — the "
@@ -322,11 +330,6 @@ def train_config_bucket(
                  "best_stack": best_stack, "has_best": has_best}
     best_h = np.asarray(best)
     if defer_scoring:
-        if not return_state:
-            raise ValueError(
-                "defer_scoring=True requires return_state=True — the "
-                "caller must score finished lanes from the returned "
-                "state (score_bucket_lanes)")
         results = [{"config_index": k // seeds_per_config,
                     "seed_index": k % seeds_per_config,
                     "best_valid": float(best_h[k])} for k in range(K)]

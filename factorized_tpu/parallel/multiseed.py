@@ -57,24 +57,33 @@ def _take_lanes(tree, idxs):
     return jax.tree.map(lambda a: a[idxs], tree)
 
 
-def data_fingerprint(X_train, X_valid, X_test, mesh):
+def data_fingerprint(X_train, X_valid, X_test, mesh,
+                     y_train=None, y_valid=None, y_test=None):
     """Cheap identity of (dataset arrays, mesh) for ``prep=`` reuse
     validation: shapes + dtype + a hash of the leading rows of each
-    split, plus the mesh's device ids/axes. Catches a prep built from
-    different tensors or a different mesh being silently reused while
-    the positional data args are ignored."""
+    split — LABELS included (a label-only mismatch, e.g. the same X
+    rebucketed under different label columns, would otherwise slip
+    through and silently score on the prep's stale y) — plus the
+    mesh's device ids/axes. Catches a prep built from different
+    tensors or a different mesh being silently reused while the
+    positional data args are ignored."""
     import hashlib
 
-    def sig(a):
+    def sig(a, full=False):
+        if a is None:
+            return None
         a = np.asarray(a)
-        probe = np.ascontiguousarray(a[:2]).tobytes() if a.size else b""
+        sample = a if full else a[:2]  # labels are tiny: hash them whole
+        probe = np.ascontiguousarray(sample).tobytes() if a.size else b""
         return (tuple(a.shape), str(a.dtype),
                 hashlib.sha1(probe).hexdigest()[:16])
 
     mesh_id = (None if mesh is None else
                (tuple(int(d.id) for d in np.asarray(mesh.devices).flat),
                 tuple(mesh.axis_names)))
-    return (sig(X_train), sig(X_valid), sig(X_test), mesh_id)
+    return (sig(X_train), sig(X_valid), sig(X_test),
+            sig(y_train, full=True), sig(y_valid, full=True),
+            sig(y_test, full=True), mesh_id)
 
 
 def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
@@ -88,7 +97,8 @@ def prepare_bucket_data(X_train, y_train, X_valid, y_valid, X_test,
     each rung call measurably dominated the steady rung wall
     (scripts/evolve_probe.py), so the rung driver builds this once and
     passes it as ``prep=``."""
-    fingerprint = data_fingerprint(X_train, X_valid, X_test, mesh)
+    fingerprint = data_fingerprint(X_train, X_valid, X_test, mesh,
+                                   y_train, y_valid, y_test)
     X_train, y_train = shuffle_and_time_major(X_train, y_train, seed)
     Xv = np.ascontiguousarray(np.asarray(X_valid).swapaxes(0, 1),
                               np.float32)

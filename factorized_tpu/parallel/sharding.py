@@ -101,6 +101,8 @@ def _default_2d_shape(n: int, axes) -> tuple:
     """Default 2-axis mesh split: prefer ``(n//2, 2)``; for odd
     composite ``n`` use the smallest odd factor; refuse loudly for
     prime ``n>2`` instead of letting numpy reshape throw a raw error."""
+    if n == 1:
+        return (1, 1)  # degenerate but valid single-device 2-axis mesh
     if n % 2 == 0:
         return (n // 2, 2)
     p = next((f for f in range(3, int(n ** 0.5) + 1, 2) if n % f == 0),

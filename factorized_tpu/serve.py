@@ -46,7 +46,11 @@ class Predictor:
         # weights are frozen at serving time: close over them so they
         # trace as compile-time constants — XLA folds the block-diagonal
         # weight assembly (ops/fused.py) and the decoder's wx+wh sum
-        # once at compile instead of on every forward
+        # once at compile instead of on every forward. Tradeoff: the
+        # program now embeds the weight values, so the persistent
+        # compile cache cannot share compilations ACROSS checkpoints of
+        # the same config — each new Predictor pays one compile, which
+        # a long-lived serving process amortizes.
         params_dev = jax.device_put(params)
 
         @jax.jit

@@ -67,7 +67,6 @@ def main():
     print(f"optimized HLO: {len(hlo.splitlines())} lines", file=sys.stderr)
 
     # one optimized-HLO line per op; metadata carries the jax scope
-    pat = re.compile(r"dynamic-update-slice")
     meta = re.compile(r'op_name="([^"]*)"')
     shape = re.compile(r"= (\S+) dynamic-update-slice")
     groups = collections.Counter()
@@ -87,10 +86,8 @@ def main():
 
     n_total = 0
     for line in hlo.splitlines():
-        if not pat.search(line) or "fused" in line.split("=")[0]:
-            # count both standalone DUS and DUS inside fusions; the
-            # fusion bodies appear as their own lines too
-            pass
+        # one line per op; fusion bodies appear as their own lines, so
+        # this counts both standalone DUS and DUS inside fusions
         if "dynamic-update-slice(" not in line:
             continue
         n_total += 1

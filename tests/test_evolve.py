@@ -370,3 +370,30 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree.leaves(tree)
+
+
+class TestPrepValidation:
+    """prep= reuse guards: a prep built from different tensors must be
+    refused BEFORE training (the positional X/y args are otherwise
+    silently ignored)."""
+
+    def test_label_only_mismatch_refused(self, program):
+        from factorized_tpu.parallel.multiseed import prepare_bucket_data
+
+        data = _data()
+        prep = prepare_bucket_data(*data, CFG, seed=7)
+        bad = list(data)
+        bad[1] = data[1] + 1.0  # same X, different train labels
+        with pytest.raises(ValueError, match="different dataset"):
+            train_config_bucket(*bad, [CFG, CFG], seeds_per_config=1,
+                                seed=7, logger=RunLogger(echo=False),
+                                prep=prep, program=program)
+
+    def test_defer_scoring_validated_at_entry(self, program):
+        """The argument-combination error must fire before any
+        training runs (it used to raise only after the full loop)."""
+        with pytest.raises(ValueError, match="defer_scoring"):
+            train_config_bucket(*_data(), [CFG, CFG],
+                                seeds_per_config=1, seed=7,
+                                logger=RunLogger(echo=False),
+                                defer_scoring=True, program=program)

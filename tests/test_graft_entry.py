@@ -22,11 +22,15 @@ class TestEntry:
         assert np.isfinite(np.asarray(y)).all()
         assert np.isfinite(float(mmd))
 
-    def test_dryrun_multichip_in_process(self):
+    def test_dryrun_multichip_in_process(self, monkeypatch):
         """With 8 visible devices (conftest mesh) the dryrun must run
-        IN-PROCESS — full DP+TP train step + sharded eval."""
+        IN-PROCESS — full DP+TP train step + sharded eval. The
+        multi-process leg is skipped here (it spawns 3 subprocesses and
+        pays ~6 min of cold compiles); the slow-marked
+        tests/test_multiprocess.py covers it."""
         if len(jax.devices()) < 8:
             pytest.skip("needs the 8-device test mesh")
+        monkeypatch.setenv("FACTORIZED_SKIP_MULTIPROCESS", "1")
         graft.dryrun_multichip(8)  # raises on any failure
 
     def test_dryrun_odd_device_count(self):

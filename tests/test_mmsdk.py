@@ -494,3 +494,17 @@ class TestDiskCache:
                        cache=False)
         import os
         assert not os.path.exists(f"{root}/.factorized_cache")
+
+    def test_swapped_modality_binding_distinct_entries(self, tmp_path):
+        """The same file SET bound to swapped modalities must not
+        collide to one cache entry (the key hashes kind->file pairs,
+        not the sorted path set)."""
+        root = make_fixture(tmp_path, d_audio=4, d_visual=4)
+        a = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1))
+        swapped = {"audio": "CMU_MOSI_Visual_Facet_41.csd",
+                   "visual": "CMU_MOSI_COVAREP.csd"}
+        b = mmsdk.get_data(seqlength=5, data_root=root, split=(2, 1),
+                           files=swapped)
+        import os
+        assert len(os.listdir(f"{root}/.factorized_cache")) == 2
+        assert not np.array_equal(a[0], b[0])

@@ -106,6 +106,9 @@ class TestDataParallel:
 
         mesh = make_mesh(8, axes=("seed", "data"))
         assert mesh.shape["seed"] == 4 and mesh.shape["data"] == 2
+        # n=1 is a valid degenerate 2-axis mesh, not a "prime" refusal
+        mesh1 = make_mesh(1, axes=("data", "model"))
+        assert mesh1.shape["data"] == 1 and mesh1.shape["model"] == 1
         assert _default_2d_shape(6, ("a", "b")) == (3, 2)
         assert _default_2d_shape(9, ("a", "b")) == (3, 3)
         assert _default_2d_shape(15, ("a", "b")) == (5, 3)
