@@ -62,7 +62,11 @@ class Predictor:
             # test_mosi.py:269-482); MFM-family models return
             # (decoded, reg, missing) with y_hat = decoded[3]
             y_hat = out if name == "mfn" else out[0][3]
-            return (jnp.squeeze(y_hat, 1) if cfg.task == "regression"
+            # scalar regression -> (n,); multitrait regression keeps
+            # (n, n_traits) — one column per trait (the multitrait
+            # trainer's contract, trainers.train_mfm_multitrait)
+            return (jnp.squeeze(y_hat, 1)
+                    if cfg.task == "regression" and cfg.output_dim == 1
                     else y_hat)
 
         # keep the (params, x) call shape predict/probe/export share
@@ -83,9 +87,10 @@ class Predictor:
         return cls(cfg, state["params"], **kw)
 
     def _empty_result(self):
-        """Shape-correct zero-length result: (0,) for regression, but
-        (0, C) logits for classification (the nonzero-input contract)."""
-        if self.cfg.task == "classification":
+        """Shape-correct zero-length result: (0,) for scalar
+        regression, (0, C) for classification logits and multitrait
+        regression (the nonzero-input contract)."""
+        if self.cfg.task == "classification" or self.cfg.output_dim > 1:
             return np.zeros((0, self.cfg.output_dim), np.float32)
         return np.zeros((0,), np.float32)
 

@@ -496,3 +496,36 @@ class TestResume:
                                        resume_from=ck2)
         assert [h["stage"] for h in res3["history"]] == [2]
         assert res3["step"] == 4
+
+
+class TestMultitraitPredictor:
+    """Multitrait regression checkpoints (output_dim > 1, e.g. the
+    mosei_sdk 7-trait surface) must serve with per-trait columns — the
+    scalar-regression squeeze used to crash on them."""
+
+    @pytest.fixture(scope="class")
+    def predictor(self):
+        import jax
+
+        from factorized_tpu.config import MFMConfig
+        from factorized_tpu.models import get_model
+
+        cfg = MFMConfig(
+            seqlength=5, input_dims=[6, 4, 3], h_dims=[6, 5, 4],
+            memsize=6, zy_size=5, zl_size=6, za_size=4, zv_size=5,
+            fy_size=4, fl_size=5, fa_size=4, fv_size=3,
+        ).replace(task="regression", output_dim=7)
+        init, _ = get_model("mfm")
+        params = init(jax.random.PRNGKey(0), cfg)
+        return Predictor(cfg, params, batch_size=8)
+
+    def test_predict_keeps_trait_columns(self, predictor):
+        X = np.random.default_rng(0).normal(
+            size=(11, 5, 13)).astype(np.float32)
+        y = predictor.predict(X)
+        assert y.shape == (11, 7)
+        assert np.isfinite(y).all()
+
+    def test_empty_input_shape(self, predictor):
+        y = predictor.predict(np.zeros((0, 5, 13), np.float32))
+        assert y.shape == (0, 7)
