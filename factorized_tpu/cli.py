@@ -724,6 +724,15 @@ def run_multitrait(args):
         raise SystemExit(
             f"{flag} only applies to --mode search (got --mode "
             f"{args.mode}); add --mode search or drop {flag}")
+    if args.seeds > 1 and args.mode != "search":
+        # search modes consume --seeds (seeds_per_config); the
+        # single/best multitrait trainer does not — refuse instead of
+        # silently training one seed
+        raise SystemExit(
+            f"--seeds {args.seeds} on the multitrait surface only "
+            "applies to --mode search (--bucket/--evolve lanes run "
+            "seeds_per_config); --mode single/best trains one seed - "
+            "drop --seeds or use --mode search")
     from factorized_tpu.data import multitrait
 
     base = (MFMConfig.from_json(args.config) if args.config
