@@ -16,6 +16,7 @@ per-seed best-valid checkpointing, per-seed test scoring.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -164,7 +165,29 @@ def _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
                 else y_hat)
 
     predict_v = jax.vmap(predict_fn, in_axes=(0, None))
-    self.predict = jax.jit(predict_v)
+
+    def predict_chunked(params, x):
+        """K-lane predict over a possibly LARGE segment set.
+
+        The naive vmapped whole-set forward materializes (K, t, N, h)
+        activations; at CMU-MOSEI scale (7445 test segments, K=8) the
+        TPU tiling pads tiny head dims 16x and the single program OOMs
+        HBM (observed r4). Above a chunk threshold the segment axis is
+        processed in lax.map pieces — same values, bounded memory; at
+        MOSI scale (hundreds of segments) the program is unchanged."""
+        t, n, d = x.shape
+        c = int(os.environ.get("FACTORIZED_PREDICT_CHUNK", "1024"))
+        if n <= c:
+            return predict_v(params, x)
+        nc = -(-n // c)
+        xp = jnp.pad(x, ((0, 0), (0, nc * c - n), (0, 0)))
+        xs = jnp.moveaxis(xp.reshape(t, nc, c, d), 1, 0)  # (nc,t,c,d)
+        ys = jax.lax.map(lambda xc: predict_v(params, xc), xs)
+        y = jnp.moveaxis(ys, 0, 1)          # (K, nc, c[, T])
+        y = y.reshape((y.shape[0], nc * c) + y.shape[3:])
+        return y[:, :n]
+
+    self.predict = jax.jit(predict_chunked)
     self.predict_one = jax.jit(predict_fn)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -257,7 +280,14 @@ def _compile_run_epochs(epoch_fn, eval_v, predict_v, select_fn,
     epoch keys, K-way split for the eval keys) is identical to the
     former per-epoch host loop, so chunked runs reproduce it bitwise
     and crash-resume stays exact (tests/test_multiseed_resume.py,
-    tests/test_evolve.py)."""
+    tests/test_evolve.py).
+
+    Memory boundary: the in-scan eval forwards the WHOLE validation
+    set per lane (verified to fit at CMU-MOSEI scale — 2.5k valid
+    segments x K=8 on one v5e). TEST scoring is chunked
+    (predict_chunked) because full test sets are ~3x larger and DID
+    OOM; if a future valid set OOMs here, sub-sample it or extend the
+    same lax.map chunking to eval_v with a masked mean."""
     acc_mode = valid_metric == "accuracy"
 
     def run(params, opt_state, best_stack, best, has_best, sched,

@@ -411,3 +411,31 @@ class TestNanLaneRanking:
         assert not np.isfinite(m0) or m0 > 1e3  # lane 0 really diverged
         assert res["best_lane"] == 1
         assert np.isfinite(res["results"][1]["metrics"]["mae"])
+
+
+class TestChunkedPredict:
+    """program.predict chunks the segment axis above a threshold
+    (whole-set K-lane forwards OOM at CMU-MOSEI scale); values must be
+    identical to the unchunked program."""
+
+    def test_chunked_matches_unchunked(self, monkeypatch):
+        from factorized_tpu.parallel.multiconfig import ConfigBucketProgram
+        from factorized_tpu.train import make_optimizer
+
+        _, apply_fn = get_model("mfm")
+        opt = make_optimizer("adam", None, CFG.momentum)
+        prog = ConfigBucketProgram(apply_fn, CFG, opt)
+        init, _ = get_model("mfm")
+        K = 3
+        params = jax.vmap(lambda k: init(k, CFG))(
+            jax.random.split(jax.random.PRNGKey(0), K))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(CFG.seqlength, 23, CFG.d_total)),
+                        jnp.float32)
+        full = np.asarray(prog.predict(params, x))
+        monkeypatch.setenv("FACTORIZED_PREDICT_CHUNK", "7")
+        # rebuild so the jit closure re-reads the env threshold
+        prog2 = ConfigBucketProgram(apply_fn, CFG, opt)
+        chunked = np.asarray(prog2.predict(params, x))
+        assert chunked.shape == full.shape == (K, 23)
+        np.testing.assert_allclose(chunked, full, atol=1e-6)
