@@ -646,12 +646,16 @@ def run_serve(args):
     from factorized_tpu.serve import Predictor, serve_http
 
     if args.exported:
-        if args.autotune or args.export:
+        if args.export:
             raise SystemExit(
-                "--exported serves a fixed-batch-shape artifact: "
-                "--autotune/--export only apply when loading from "
-                "--checkpoint (tune/export before deployment)")
+                "--export only applies when loading from --checkpoint "
+                "(the artifact is already exported)")
         predictor = Predictor.from_exported(args.exported)
+        if args.autotune and not predictor._symbolic:
+            raise SystemExit(
+                "this artifact has a fixed batch shape "
+                "(symbolic_batch=False at export time): --autotune "
+                "needs a symbolic-batch artifact or --checkpoint")
     else:
         predictor = Predictor.from_checkpoint(args.checkpoint)
     if args.autotune:
@@ -724,15 +728,17 @@ def run_multitrait(args):
         raise SystemExit(
             f"{flag} only applies to --mode search (got --mode "
             f"{args.mode}); add --mode search or drop {flag}")
-    if args.seeds > 1 and args.mode != "search":
-        # search modes consume --seeds (seeds_per_config); the
-        # single/best multitrait trainer does not — refuse instead of
-        # silently training one seed
+    if args.seeds > 1 and not (args.mode == "search"
+                               and (args.bucket or args.evolve)):
+        # only the --bucket/--evolve search paths consume --seeds
+        # (seeds_per_config); the single/best trainers AND the plain
+        # --mode search trial loop train one seed per run — refuse
+        # instead of silently training one seed
         raise SystemExit(
             f"--seeds {args.seeds} on the multitrait surface only "
-            "applies to --mode search (--bucket/--evolve lanes run "
-            "seeds_per_config); --mode single/best trains one seed - "
-            "drop --seeds or use --mode search")
+            "applies to --mode search with --bucket or --evolve "
+            "(those lanes run seeds_per_config); other modes train "
+            "one seed - drop --seeds or add --bucket/--evolve")
     from factorized_tpu.data import multitrait
 
     base = (MFMConfig.from_json(args.config) if args.config

@@ -324,12 +324,20 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
             cache_file = _cache_path(data_root, kind_paths, seqlength,
                                      label_mode, split, normalize_covarep)
             if os.path.exists(cache_file):
-                z = np.load(cache_file)
-                return SdkSplits(
-                    tuple(z[k] for k in ("X_train", "y_train", "X_valid",
-                                         "y_valid", "X_test", "y_test")),
-                    input_dims=z["input_dims"].tolist(),
-                )
+                try:
+                    z = np.load(cache_file)
+                    return SdkSplits(
+                        tuple(z[k] for k in ("X_train", "y_train", "X_valid",
+                                             "y_valid", "X_test", "y_test")),
+                        input_dims=z["input_dims"].tolist(),
+                    )
+                except Exception:
+                    # corrupt/truncated cache (e.g. interrupted write):
+                    # drop it and fall through to the rebuild path
+                    try:
+                        os.remove(cache_file)
+                    except OSError:
+                        pass
 
     by_vid = load_segments(data_root, files, label_mode=label_mode)
     vids = sorted(by_vid.items(), key=lambda kv: kv[0])
@@ -371,7 +379,10 @@ def get_data(seqlength: int = SEQLENGTH, data_root=None, files=None,
     )
     if cache_file is not None:
         os.makedirs(os.path.dirname(cache_file), exist_ok=True)
-        tmp = cache_file + ".tmp"
+        # pid-unique tmp: concurrent processes building the same key
+        # each write their own file and atomically replace — no
+        # interleaved half-written npz can land under cache_file
+        tmp = f"{cache_file}.{os.getpid()}.tmp"
         np.savez(tmp, X_train=out[0], y_train=out[1], X_valid=out[2],
                  y_valid=out[3], X_test=out[4], y_test=out[5],
                  input_dims=np.asarray(out.input_dims))

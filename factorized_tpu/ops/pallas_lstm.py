@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Lazy pallas import: keeps CPU-only environments working (kernels run
 # in interpret mode there, selected by the wrappers below).
@@ -247,6 +248,11 @@ multi_lstm.defvjp(_multi_lstm_fwd, _multi_lstm_bwd)
 
 
 def multi_lstm_fits(t, n, H) -> bool:
+    if not (isinstance(t, (int, np.integer))
+            and isinstance(n, (int, np.integer))):
+        # symbolic dims (jax.export symbolic batch): the VMEM ledger is
+        # undecidable and the artifact must stay portable — scan path
+        return False
     # per-step ledger (streamed): weights 2x-buffered (per-seed under
     # vmap) + 2x-buffered step blocks + carries + temporaries
     words = (2 * 2 * 4 * H * H          # wh + (vmap) prefetch
@@ -426,6 +432,9 @@ decoder_lstm.defvjp(_decoder_fwd, _decoder_bwd)
 
 
 def decoder_fits(t, n, H) -> bool:
+    if not (isinstance(t, (int, np.integer))
+            and isinstance(n, (int, np.integer))):
+        return False  # symbolic dims (jax.export) -> scan path
     # per-step ledger (streamed); weights 2x-buffered under vmap
     words = (2 * 2 * 4 * H * H
              + 2 * n * (3 * 4 * H + 4 * H)  # gates/dgates x2 + h/c blocks

@@ -49,6 +49,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -581,6 +582,11 @@ def encode_fits(t, n, H, mem_dim, att_in, widths, mask_words=0) -> bool:
     ride along, 0 otherwise (eval or all-zero rates). ``widths`` are the
     attention/gate weight sizes (elements). Per-step ledger (both
     kernels stream the time axis)."""
+    if not (isinstance(t, (int, np.integer))
+            and isinstance(n, (int, np.integer))):
+        # symbolic dims (jax.export symbolic batch): the VMEM ledger is
+        # undecidable and the artifact must stay portable — scan path
+        return False
     # R = att (att_in) + 2*(s1+s2+s3+s4) + 3*mem; recover sum(sites)
     # from the mask words when they ride along, else from the widths
     if mask_words:

@@ -174,7 +174,12 @@ def _init_lane_programs(self, apply_fn, cfg, optimizer, loss_fn,
         TPU tiling pads tiny head dims 16x and the single program OOMs
         HBM (observed r4). Above a chunk threshold the segment axis is
         processed in lax.map pieces — same values, bounded memory; at
-        MOSI scale (hundreds of segments) the program is unchanged."""
+        MOSI scale (hundreds of segments) the program is unchanged.
+
+        FACTORIZED_PREDICT_CHUNK is read at TRACE time (once per input
+        shape under jit): changing the env var later in-process is
+        ignored for shapes already compiled — set it before the first
+        predict call."""
         t, n, d = x.shape
         c = int(os.environ.get("FACTORIZED_PREDICT_CHUNK", "1024"))
         if n <= c:

@@ -70,8 +70,24 @@ class Predictor:
                     else y_hat)
 
         # keep the (params, x) call shape predict/probe/export share
-        # with ExportedPredictor; the runtime params arg is ignored
-        self._fwd = lambda params, x: fwd_const(x)
+        # with ExportedPredictor. The runtime params arg is checked, not
+        # used: weights are FROZEN into fwd_const above, so reassigning
+        # predictor.params (e.g. a checkpoint hot-reload) would silently
+        # keep serving the construction-time weights — fail loudly
+        # instead (hot-reload = build a new Predictor).
+        frozen = params
+
+        def _fwd(p, x):
+            # host-side identity check (p itself may be a tracer inside
+            # device_latency's jitted chain — never inspect it)
+            if self.params is not frozen:
+                raise ValueError(
+                    "Predictor weights are frozen at construction "
+                    "(compiled as constants); build a new Predictor "
+                    "instead of reassigning .params")
+            return fwd_const(x)
+
+        self._fwd = _fwd
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw):
@@ -203,13 +219,20 @@ class Predictor:
 
     # ------------------------------------------------ AOT export/load
 
-    def export(self, path: str):
+    def export(self, path: str, symbolic_batch: bool = True):
         """Serialize the jitted forward into ONE portable artifact via
         ``jax.export`` — weights ride along as closure constants, so
         the serving host needs jax and this file, not the framework's
-        model code or a checkpoint. The artifact is compiled AND
-        platform-tagged for the CURRENT backend at the predictor's
-        static batch shape (`predict` always pads to it).
+        model code or a checkpoint. The artifact is platform-tagged for
+        the CURRENT backend.
+
+        By default the batch dimension is exported SYMBOLIC
+        (``jax.export.symbolic_shape``): one artifact serves any batch
+        size — the loader pads to its tuned ``batch_size`` (meta
+        records the export-time value as the starting point) and
+        ``ExportedPredictor.autotune`` stays available. Pass
+        ``symbolic_batch=False`` to pin the batch shape into the
+        artifact (the pre-r5 behavior; autotune then refuses).
 
         Writes ``<path>/exported.bin`` + ``<path>/meta.json``."""
         import os
@@ -217,8 +240,11 @@ class Predictor:
         from jax import export as jexport
 
         t, d = self.cfg.seqlength, sum(self.cfg.input_dims)
-        x_spec = jax.ShapeDtypeStruct((t, self.batch_size, d),
-                                      jnp.float32)
+        if symbolic_batch:
+            (b,) = jexport.symbolic_shape("b")
+        else:
+            b = self.batch_size
+        x_spec = jax.ShapeDtypeStruct((t, b, d), jnp.float32)
         params = self.params
         fwd = self._fwd
         exp = jexport.export(jax.jit(lambda x: fwd(params, x)))(x_spec)
@@ -230,6 +256,7 @@ class Predictor:
                 "config": self.cfg.to_dict(),
                 "model_type": self._name,
                 "batch_size": int(self.batch_size),
+                "symbolic_batch": bool(symbolic_batch),
                 "platforms": list(exp.platforms),
             }, f)
         return path
@@ -241,9 +268,11 @@ class Predictor:
 
 class ExportedPredictor(Predictor):
     """Serve from a ``Predictor.export`` artifact: same numpy-in/out
-    ``predict`` (padding to the artifact's fixed batch shape), no model
-    code or params needed. The batch size is BAKED INTO the artifact —
-    ``autotune`` is unavailable (tune before exporting)."""
+    ``predict`` (padding to ``batch_size``), no model code or params
+    needed. Symbolic-batch artifacts (the export default) serve ANY
+    batch size — one compile per concrete shape at call time — so
+    ``autotune`` works normally; fixed-shape artifacts
+    (``symbolic_batch=False``) refuse it."""
 
     def __init__(self, path: str):
         import os
@@ -258,6 +287,7 @@ class ExportedPredictor(Predictor):
                            if k in _Cfg.__dataclass_fields__})
         self._name = meta["model_type"]
         self.batch_size = int(meta["batch_size"])
+        self._symbolic = bool(meta.get("symbolic_batch", False))
         self.params = ()  # weights live inside the artifact
         with open(os.path.join(path, "exported.bin"), "rb") as f:
             exp = jexport.deserialize(bytearray(f.read()))
@@ -267,12 +297,19 @@ class ExportedPredictor(Predictor):
                 f"artifact was exported for {list(exp.platforms)}, "
                 f"this process runs on {backend!r} — re-export on the "
                 f"serving platform")
-        self._fwd = lambda params, x: exp.call(x)
+        # jit the artifact call: exp.call alone re-runs StableHLO
+        # refinement per invocation; under jit each concrete batch
+        # shape compiles once and caches
+        self._call = jax.jit(exp.call)
+        self._fwd = lambda params, x: self._call(x)
 
     def autotune(self, *a, **kw):
-        raise NotImplementedError(
-            "the exported artifact has a fixed batch shape; run "
-            "autotune() before export()")
+        if not self._symbolic:
+            raise NotImplementedError(
+                "this artifact was exported with symbolic_batch=False "
+                "(fixed batch shape); re-export with the default "
+                "symbolic batch, or run autotune() before export()")
+        return super().autotune(*a, **kw)
 
 
 class MicroBatcher:

@@ -292,9 +292,10 @@ def _compile_chunked_loop(epoch_fn, step_fn, eval_fn, *, mode="min",
     - scheduler: :func:`utils.scheduler.plateau_step` on a 1-lane
       state, the functional twin of the host ``ReduceLROnPlateau``;
     - divergence: a non-finite train or valid loss latches ``alive``
-      off — no further keeper/scheduler updates happen, matching the
-      host loop's break-before-update (the host side truncates the
-      chunk's history at the first dead epoch).
+      off — no further keeper/scheduler updates happen AND the carried
+      params/opt_state freeze (``lax.cond`` skips the train epoch),
+      matching the host loop's break-before-update exactly, including
+      the live params a pre-first-save divergence returns.
 
     ``eval_fn(params, x, y, key)`` must return a scalar; pass the
     accuracy closure (mode='max') for the acc-maximizing trainer.
@@ -315,15 +316,33 @@ def _compile_chunked_loop(epoch_fn, step_fn, eval_fn, *, mode="min",
             params, opt_state, best_p, best_v, sched, alive, key = carry
             key, ek, vk = jax.random.split(key, 3)
             lr = sched["lr"][0]
-            params, opt_state, acc = epoch_fn(params, opt_state, Xb, yb,
-                                              ek, lr)
-            if with_rem:
-                rkey = jax.random.fold_in(ek, nb)
-                params, opt_state, r_tracked = step_fn(
-                    params, opt_state, rem_x, rem_y, rkey, lr)
-                # reference sums nb+1 batches, divides by nb
-                # (mfm_moud.py:314,342)
-                acc = acc + r_tracked / nb
+
+            def advance(state):
+                params, opt_state = state
+                params, opt_state, acc = epoch_fn(params, opt_state,
+                                                  Xb, yb, ek, lr)
+                if with_rem:
+                    rkey = jax.random.fold_in(ek, nb)
+                    params, opt_state, r_tracked = step_fn(
+                        params, opt_state, rem_x, rem_y, rkey, lr)
+                    # reference sums nb+1 batches, divides by nb
+                    # (mfm_moud.py:314,342)
+                    acc = acc + r_tracked / nb
+                return params, opt_state, acc
+
+            def hold(state):
+                params, opt_state = state
+                return params, opt_state, jnp.full((), jnp.nan,
+                                                   jnp.float32)
+
+            # a dead run stops ADVANCING, not just recording: after the
+            # diverged epoch the carried params/opt_state freeze exactly
+            # where the host loop's break leaves them, so even a
+            # pre-first-save divergence returns identical live params on
+            # both paths (the `hold` branch is never taken while alive,
+            # so healthy runs pay nothing)
+            params, opt_state, acc = jax.lax.cond(
+                alive, advance, hold, (params, opt_state))
             valid = eval_fn(params, Xv, yv, vk)
             ok = alive & jnp.isfinite(acc) & jnp.isfinite(valid)
             if mode == "min":

@@ -125,18 +125,12 @@ def _loop_chunked(program, params, opt_state, Xb, yb, remainder, Xv, yv,
                   num_epochs, scheduler, keeper, logger, key,
                   save_always, eval_device, snapshot):
     """Chunked twin of :func:`_loop_host`: same key chain, keeper,
-    scheduler and divergence semantics, one dispatch per chunk.
-
-    One deliberate live-state divergence from the host loop: after a
-    NaN/inf epoch, bookkeeping (keeper/scheduler/logging) freezes via
-    the ``alive`` gate but ``epoch_fn`` keeps advancing the carried
-    params/opt_state through the rest of the chunk, while the host loop
-    breaks at the diverged epoch. Both carried states are NaN-poisoned
-    garbage either way; everything observable (best_params, history,
-    scheduler state, the ``best_params or params`` fallback when a save
-    DID happen) is identical. Only a run that diverges before its FIRST
-    save returns different (both-unusable) live params between the two
-    paths."""
+    scheduler and divergence semantics, one dispatch per chunk. After a
+    NaN/inf epoch the ``alive`` gate freezes bookkeeping AND the
+    carried params/opt_state (``lax.cond`` in
+    ``train._compile_chunked_loop``), so even a run that diverges
+    before its first save returns the same live params as the host
+    loop's break (asserted in tests/test_chunked_loop.py)."""
     from factorized_tpu.train import DEFAULT_EPOCH_CHUNK
 
     with_rem = remainder is not None and remainder[0].shape[1] > 0

@@ -67,7 +67,10 @@ def _assert_params_equal(pa, pb):
     la, lb = jax.tree.leaves(pa), jax.tree.leaves(pb)
     assert len(la) == len(lb)
     for x, y in zip(la, lb):
-        assert np.array_equal(np.asarray(x), np.asarray(y))
+        # equal_nan: diverged-run live params are NaN-poisoned on both
+        # sides and must still match leaf-for-leaf
+        assert np.array_equal(np.asarray(x), np.asarray(y),
+                              equal_nan=True)
 
 
 class TestChunkedParity:
@@ -121,6 +124,13 @@ class TestChunkedParity:
         assert any(h.get("diverged") for h in chunk["history"])
         _assert_histories_match(host["history"], chunk["history"])
         assert host["step"] == chunk["step"]
+        # diverge-before-first-save: lr=1e18 blows up at epoch 0, so no
+        # best was ever kept and the returned params are the LIVE
+        # carried state — the alive gate must freeze the chunked loop's
+        # params at the diverged epoch, exactly where the host loop's
+        # break leaves them (bitwise, NaNs included)
+        assert host["history"][0].get("diverged")
+        _assert_params_equal(host["params"], chunk["params"])
 
     def test_missing_variant(self):
         # representative of the non-joint loss variants (richest

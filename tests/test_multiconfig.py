@@ -295,10 +295,14 @@ class TestMultitraitBucket:
         with pytest.raises(SystemExit, match="--mode search"):
             main(["multitrait", "--mode", "single", "--evolve", "2",
                   "--out", str(tmp_path)])
-        # --seeds is consumed only by the search modes here; single/
-        # best would silently train one seed
+        # --seeds is consumed only by --bucket/--evolve search; single/
+        # best AND the plain search trial loop would silently train one
+        # seed
         with pytest.raises(SystemExit, match="--seeds"):
             main(["multitrait", "--mode", "single", "--seeds", "4",
+                  "--out", str(tmp_path)])
+        with pytest.raises(SystemExit, match="--seeds"):
+            main(["multitrait", "--mode", "search", "--seeds", "4",
                   "--out", str(tmp_path)])
 
     def test_cli_multitrait_bucket_plumbing(self, monkeypatch, tmp_path):

@@ -44,6 +44,20 @@ class TestPredictor:
         assert y.shape == (10,)
         assert np.isfinite(y).all()
 
+    def test_params_frozen_guard(self, trained_ckpt):
+        """Weights are compiled into the forward as constants at
+        construction; reassigning .params (e.g. a naive checkpoint
+        hot-reload) must fail loudly instead of silently serving the
+        original weights."""
+        import jax
+
+        p = Predictor.from_checkpoint(trained_ckpt)
+        X = np.zeros((2, p.cfg.seqlength, p.cfg.d_total), np.float32)
+        assert p.predict(X).shape == (2,)
+        p.params = jax.tree.map(lambda a: a, p.params)  # new tree
+        with pytest.raises(ValueError, match="frozen"):
+            p.predict(X)
+
     def test_batch_padding_consistency(self, trained_ckpt):
         p = Predictor.from_checkpoint(trained_ckpt)
         p.batch_size = 8
@@ -59,7 +73,10 @@ class TestPredictor:
 
     def test_export_roundtrip(self, trained_ckpt, tmp_path):
         """AOT artifact: export the jitted forward (weights embedded),
-        reload WITHOUT the checkpoint, predictions match."""
+        reload WITHOUT the checkpoint, predictions match. The default
+        artifact has a SYMBOLIC batch dimension — one artifact serves
+        multiple batch sizes (each concrete shape compiles on first
+        use) and autotune stays available."""
         from factorized_tpu.serve import ExportedPredictor
 
         p = Predictor.from_checkpoint(trained_ckpt)
@@ -76,6 +93,28 @@ class TestPredictor:
         assert q.cfg.seqlength == p.cfg.seqlength
         y = q.predict(X)
         np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-6)
+        # ONE artifact, three serving batch shapes: 8 (pad to 16), 4
+        # (pad to 12) and 32 (single padded batch) — same predictions
+        for b in (4, 32):
+            q.batch_size = b
+            np.testing.assert_allclose(q.predict(X), y_ref, rtol=1e-5,
+                                       atol=1e-6)
+        # autotune works on symbolic-batch artifacts
+        tuned = q.autotune(X, candidates=(4, 8), reps=1)
+        assert set(tuned) == {4, 8}
+        assert q.batch_size in tuned
+
+    def test_export_fixed_shape_refuses_autotune(self, trained_ckpt,
+                                                 tmp_path):
+        """symbolic_batch=False pins the batch shape into the artifact
+        (the pre-r5 behavior): serving still works at that shape,
+        autotune refuses loudly."""
+        p = Predictor.from_checkpoint(trained_ckpt)
+        p.batch_size = 8
+        art = p.export(str(tmp_path / "fixed"), symbolic_batch=False)
+        q = Predictor.from_exported(art)
+        X = np.zeros((5, q.cfg.seqlength, q.cfg.d_total), np.float32)
+        assert q.predict(X).shape == (5,)
         with pytest.raises(NotImplementedError):
             q.autotune(X)
 
