@@ -31,6 +31,14 @@ CACHE = os.path.join(REPO, ".bench_cache.json")
 BATCH = 32
 T = 20
 STEPS_JAX = 20
+# v5e MXU peak for the MFU roofline (docs/performance.md "Roofline"):
+# 197 TFLOP/s bf16 (public v5e spec). The training programs hold f32
+# operands, but JAX's default matmul precision on TPU multiplies in
+# bf16 with f32 accumulation (1 MXU pass), so bf16 peak IS the
+# speed-of-light here — the r5 probes measured executed-GEMM rates
+# above any multi-pass-f32 ceiling, disproving the earlier "f32 peak
+# = bf16/4" framing.
+V5E_BF16_PEAK = 197e12
 # torch baseline: 4 groups x 8 steps, median of group rates (mirrors the
 # JAX side's best-of-groups; a single short sample was too noisy to
 # anchor the headline ratio)
@@ -51,31 +59,18 @@ def get_cfg():
 def bench_jax(cfg):
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from factorized_tpu.models import get_model
-    from factorized_tpu.train import TrainProgram, make_optimizer
+    from factorized_tpu.benchprog import E, NB, build_train_state, \
+        epoch_inputs, make_chunk
 
-    init, apply_fn = get_model("mfm")
-    key = jax.random.PRNGKey(123)
-    params = init(key, cfg)
-    opt = make_optimizer("adam", 1e-3)
-    opt_state = opt.init(params)
-    program = TrainProgram(apply_fn, cfg, "joint", opt)
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(T, BATCH, cfg.d_total)), jnp.float32)
-    y = jnp.asarray(rng.normal(size=(BATCH,)), jnp.float32)
+    program, params, opt_state = build_train_state(cfg)
 
     lr = jnp.asarray(1e-3, jnp.float32)
     log(f"device: {jax.devices()[0].platform}")
     # epoch mode — the production path: whole epoch as one XLA program
     # (per-step dispatch mode omitted: its separate program costs ~4min
     # of compile through the remote tunnel and is not the trained path)
-    NB = 39  # MOSI: 1248 shuffled train samples / batch 32
-    Xb = jnp.asarray(rng.normal(size=(NB, T, BATCH, cfg.d_total)),
-                     jnp.float32)
-    yb = jnp.asarray(rng.normal(size=(NB, BATCH)), jnp.float32)
+    Xb, yb = epoch_inputs(cfg)
     t0 = time.perf_counter()
     params, opt_state, acc = program.epoch(params, opt_state, Xb, yb,
                                            jax.random.PRNGKey(2), lr)
@@ -103,40 +98,110 @@ def bench_jax(cfg):
     # model needs per epoch) is paid once per chunk. Measure the same
     # pure-train work in 20-epoch chunk programs; both numbers go in
     # the JSON (docs/performance.md "Baseline methodology per round").
-    E = 20
-    epoch_raw = program._raw[0]
-
-    def chunk(params, opt_state, Xb, yb, key, lr):
-        def body(carry, _):
-            params, opt_state, key = carry
-            key, ek = jax.random.split(key)
-            params, opt_state, tr = epoch_raw(params, opt_state, Xb, yb,
-                                              ek, lr)
-            return (params, opt_state, key), tr
-
-        (params, opt_state, key), trs = jax.lax.scan(
-            body, (params, opt_state, key), None, length=E)
-        return params, opt_state, trs
+    chunk = make_chunk(program)
 
     cj = jax.jit(chunk, donate_argnums=(0, 1))
     t0 = time.perf_counter()
-    params, opt_state, trs = cj(params, opt_state, Xb, yb,
-                                jax.random.PRNGKey(5), lr)
+    compiled = cj.lower(params, opt_state, Xb, yb, jax.random.PRNGKey(5),
+                        lr).compile()
+    # ANALYTIC model FLOPs (utils/flops.py): XLA's cost_analysis does
+    # not multiply while-body flops by trip count, so it undercounts
+    # these scan programs ~100x — never use it for the roofline
+    from factorized_tpu.utils.flops import model_train_flops_per_step
+
+    flops_per_step = model_train_flops_per_step(cfg)
+    params, opt_state, trs = compiled(params, opt_state, Xb, yb,
+                                      jax.random.PRNGKey(5), lr)
     float(trs[-1])
     log(f"jax chunk mode compile+first: {time.perf_counter() - t0:.2f}s")
     cgroups = []
     for g in range(4):
         t0 = time.perf_counter()
-        params, opt_state, trs = cj(params, opt_state, Xb, yb,
-                                    jax.random.fold_in(
-                                        jax.random.PRNGKey(6), g), lr)
+        params, opt_state, trs = compiled(params, opt_state, Xb, yb,
+                                          jax.random.fold_in(
+                                              jax.random.PRNGKey(6), g),
+                                          lr)
         float(trs[-1])
         cgroups.append(time.perf_counter() - t0)
     cdt = min(cgroups)
     sps = NB * E / cdt
     log(f"jax chunk mode: groups {[f'{x*1e3:.0f}' for x in cgroups]} ms "
-        f"/{E} epochs -> {cdt / E * 1e3:.1f}ms/epoch -> {sps:.1f} steps/s")
-    return sps, dispatched_sps
+        f"/{E} epochs -> {cdt / E * 1e3:.1f}ms/epoch -> {sps:.1f} steps/s "
+        f"({flops_per_step:.3e} flops/step)")
+    return sps, dispatched_sps, flops_per_step
+
+
+def bench_scale():
+    """Compute-bound demonstration: the MOSEI-scale config (batch 2048,
+    h=[512,256,256], dropout 0 — factorized_tpu/benchprog.py::scale_cfg,
+    picked by scripts/scale_mfu_probe.py) measured on the same
+    epoch-chunk production path, with ANALYTIC model FLOPs -> MFU and
+    an attestation of which encode/decoder kernel is ACTIVE."""
+    import jax
+    import jax.numpy as jnp
+
+    from factorized_tpu.benchprog import (SCALE_E, SCALE_NB, active_paths,
+                                          build_train_state, make_chunk,
+                                          scale_cfg)
+    from factorized_tpu.utils.flops import model_train_flops_per_step
+
+    try:
+        cfg = scale_cfg()
+        program, params, opt_state = build_train_state(cfg)
+        t, B, d = cfg.seqlength, cfg.batchsize, cfg.d_total
+        log(f"scale config: t={t} B={B} d={d} h={cfg.h_dims} "
+            f"mem={cfg.memsize}")
+        # data generated ON DEVICE: (NB,t,B,d) f32 at this scale is
+        # ~0.5GB — generating beats pushing it through the tunnel
+        gen = jax.jit(lambda k: (
+            jax.random.normal(jax.random.fold_in(k, 0),
+                              (SCALE_NB, t, B, d), jnp.float32),
+            jax.random.normal(jax.random.fold_in(k, 1), (SCALE_NB, B),
+                              jnp.float32)))
+        Xb, yb = gen(jax.random.PRNGKey(7))
+        jax.block_until_ready(Xb)
+        lr = jnp.asarray(1e-3, jnp.float32)
+        cj = jax.jit(make_chunk(program, e=SCALE_E),
+                     donate_argnums=(0, 1))
+        t0 = time.perf_counter()
+        compiled = cj.lower(params, opt_state, Xb, yb,
+                            jax.random.PRNGKey(5), lr).compile()
+        steps = SCALE_NB * SCALE_E
+        flops_per_step = model_train_flops_per_step(cfg)
+        exec_flops = model_train_flops_per_step(cfg, fused=True)
+        params, opt_state, trs = compiled(params, opt_state, Xb, yb,
+                                          jax.random.PRNGKey(5), lr)
+        float(trs[-1])
+        log(f"scale chunk compile+first: {time.perf_counter() - t0:.2f}s")
+        best = None
+        for g in range(3):
+            t0 = time.perf_counter()
+            params, opt_state, trs = compiled(
+                params, opt_state, Xb, yb,
+                jax.random.fold_in(jax.random.PRNGKey(6), g), lr)
+            float(trs[-1])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        sps = steps / best
+        achieved = flops_per_step * sps
+        log(f"scale: {sps:.2f} steps/s ({sps * B:.0f} samples/s), "
+            f"{achieved / 1e12:.2f} TFLOP/s = "
+            f"{achieved / V5E_BF16_PEAK * 100:.1f}% of bf16 peak")
+        return {
+            "config": "mosei_scale_b2048_h512",
+            "steps_per_sec": round(sps, 2),
+            "samples_per_sec": round(sps * B, 1),
+            "model_flops_per_step": round(flops_per_step),
+            "executed_gemm_flops_per_step": round(exec_flops),
+            "achieved_flops_per_sec": round(achieved),
+            "mfu": round(achieved / V5E_BF16_PEAK, 5),
+            "mfu_peak_flops": V5E_BF16_PEAK,
+            "active_paths": active_paths(cfg),
+        }
+    except Exception as e:  # never let the scale leg kill the headline
+        log(f"scale bench FAILED: {type(e).__name__}: {e}")
+        return {"config": "mosei_scale_b2048_h512",
+                "error": f"{type(e).__name__}: {e}"}
 
 
 def _torch_mfm(cfg):
@@ -332,7 +397,8 @@ def main():
 
     cfg = get_cfg()
     torch_sps = cached_torch_baseline(cfg)
-    jax_sps, dispatched_sps = bench_jax(cfg)
+    jax_sps, dispatched_sps, flops_per_step = bench_jax(cfg)
+    achieved = flops_per_step * jax_sps
     result = {
         "metric": "mosi_mfm_train_steps_per_sec",
         "value": round(jax_sps, 2),
@@ -343,6 +409,16 @@ def main():
         # dispatch, kept here for cross-round comparability
         "mode": "epoch_chunk_20",
         "dispatched_steps_per_sec": round(dispatched_sps, 2),
+        # roofline (docs/performance.md): ANALYTIC model FLOPs/step
+        # (utils/flops.py, modular-path math = useful work) x measured
+        # steps/s. The parity config is latency-bound (tiny GEMMs) —
+        # its MFU is expected to be a few %; the "scale" section below
+        # is the compute-bound demonstration
+        "model_flops_per_step": round(flops_per_step),
+        "achieved_flops_per_sec": round(achieved),
+        "mfu": round(achieved / V5E_BF16_PEAK, 5),
+        "mfu_peak_flops": V5E_BF16_PEAK,
+        "scale": bench_scale(),
         "baseline_steps_per_sec": round(torch_sps, 3),
         "baseline_torch_version": torch.__version__,
         "baseline_torch_threads": torch.get_num_threads(),

@@ -989,7 +989,21 @@ def build_parser():
                          "with x100 acc row; ie2 = per-file reset")
     sp.set_defaults(func=run_check)
 
+    sp = sub.add_parser(
+        "warmup",
+        help="pre-populate the persistent XLA compile cache with the "
+             "production programs (bench epoch/chunk, trainer loop, "
+             "K=8 multiseed, released-checkpoint serving) so later "
+             "process-cold runs start in seconds")
+    sp.set_defaults(func=_run_warmup)
+
     return p
+
+
+def _run_warmup(args):
+    from factorized_tpu.warmup import run_warmup
+
+    return run_warmup(args)
 
 
 def main(argv=None):

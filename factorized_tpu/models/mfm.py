@@ -46,10 +46,61 @@ from factorized_tpu.ops.lstm import decoder_apply, encoder_apply, encoder_init
 from factorized_tpu.ops.losses import l2_loss, loss_kld
 from factorized_tpu.models.common import mfn_drops
 
-# Use the block-diagonal fused scans (ops/fused.py) — same math as the
-# modular path up to float reassociation, ~2x fewer sequential loops on
-# TPU. tests/test_fused.py asserts equivalence; flip for debugging.
-FUSED = True
+# Block-diagonal fused scans (ops/fused.py) vs the modular per-module
+# path — same math up to float reassociation (tests/test_fused.py).
+#
+# "auto" (default): pick per config by estimated step compute. The
+# fusion trades WASTED MXU work (the off-block zeros are real
+# multiplies — utils/flops.py measures 1.7-2.2x the model FLOPs) for
+# fewer sequential loops and launches. At MOSI parity scale the step is
+# latency-bound and fusion wins (~+30%); once the step is MXU-bound the
+# waste dominates: measured crossover on v5e (scripts/scale_mfu_probe,
+# r5) — A_b256/h256 (6.0e10 model FLOPs/step) fused 181 vs modular 156
+# steps/s; B_b512/h512 (4.4e11) fused 58 vs modular 70; D_b2048
+# (6.7e12) fused 6.3 vs modular 9.4 (31.9% bf16 model-MFU).
+# True forces fused everywhere; False forces modular (debug/probes).
+FUSED = "auto"
+
+# geometric midpoint of the measured A (fused wins) / B (modular wins)
+# model-FLOPs-per-step bracket
+_FUSED_FLOPS_CROSSOVER = 1.6e11
+
+
+def _step_flops_estimate(cfg) -> float:
+    """Closed-form estimate of one train step's model GEMM FLOPs (fwd
+    x3 for bwd) — only feeds the fused/modular gate, so the dominant
+    terms suffice (exact accounting lives in utils/flops.py)."""
+    t, n = cfg.seqlength, cfg.batchsize
+    d_l, d_a, d_v = cfg.input_dims
+    zs = (cfg.zl_size, cfg.za_size, cfg.zv_size)
+    per_t = 0.0
+    # trio encoder LSTMs (hidden == z_size) + MFN LSTMs (h_dims)
+    for d, z in zip((d_l, d_a, d_v), zs):
+        per_t += 4 * z * (d + z)
+    for d, h in zip((d_l, d_a, d_v), cfg.h_dims):
+        per_t += 4 * h * (d + h)
+    # MFN attention/gate MLPs
+    att_in = 2 * sum(cfg.h_dims)
+    g_in = att_in + cfg.memsize
+    per_t += att_in * cfg.att1_shape + cfg.att1_shape * att_in
+    per_t += att_in * cfg.att2_shape + cfg.att2_shape * cfg.memsize
+    per_t += g_in * cfg.gamma1_shape + cfg.gamma1_shape * cfg.memsize
+    per_t += g_in * cfg.gamma2_shape + cfg.gamma2_shape * cfg.memsize
+    # decoder LSTMs (hidden = fy + f_m) + output projections
+    for d, f in zip((d_l, d_a, d_v),
+                    (cfg.fl_size, cfg.fa_size, cfg.fv_size)):
+        hd = cfg.fy_size + f
+        per_t += 4 * hd * 2 * hd + hd * d
+    return 3.0 * 2.0 * n * t * per_t  # bwd ~2x fwd; MACs -> FLOPs
+
+
+def fused_active(cfg) -> bool:
+    """Whether the block-diagonal fused path runs at this config."""
+    if FUSED is True:
+        return True
+    if not FUSED:
+        return False
+    return _step_flops_estimate(cfg) < _FUSED_FLOPS_CROSSOVER
 
 
 # ---------------------------------------------------------------- helpers
@@ -99,7 +150,7 @@ def _zf_all(params, zy, zl, za, zv, cfg, key, train):
 def _decode(params, fy, fl, fa, fv, t, cfg, key, train):
     drives = [jnp.concatenate([fy, f], 1) for f in (fl, fa, fv)]
     dec = params["dec"]
-    if FUSED:
+    if fused_active(cfg):
         x_l_hat, x_a_hat, x_v_hat = fused_decoder_scan(
             [dec["decoder_l"], dec["decoder_a"], dec["decoder_v"]], drives, t
         )
@@ -114,7 +165,7 @@ def _decode(params, fy, fl, fa, fv, t, cfg, key, train):
 def _encode_stage(params, x_l, x_a, x_v, cfg, key, train):
     """zl/za/zv latents + MFN last_hs, fused or modular."""
     enc = params["enc"]
-    if FUSED:
+    if fused_active(cfg):
         (hl, ha, hv), mfn_last = fused_mfm_encode(
             [enc["encoder_l"]["lstm"], enc["encoder_a"]["lstm"],
              enc["encoder_v"]["lstm"]],
@@ -242,7 +293,7 @@ def mfm_kl_ef_apply(params, x, cfg, *, key, train=False):
     k = subkeys(key, 2)
 
     enc = params["enc"]
-    if FUSED:
+    if fused_active(cfg):
         hl, ha, hv, h_ef = fused_lstm_scan(
             [enc["encoder_l"]["lstm"], enc["encoder_a"]["lstm"],
              enc["encoder_v"]["lstm"], params["ef_encoder"]["lstm"]],
@@ -352,7 +403,7 @@ def mfm_missing_apply(params, x, cfg, *, key, train=False):
                       "encoder_av_to_l", "encoder_la_to_y",
                       "encoder_lv_to_y", "encoder_av_to_y")
     surrogate_xs = [x_la, x_lv, x_av, x_la, x_lv, x_av]
-    if FUSED:
+    if fused_active(cfg):
         hs = fused_lstm_scan(
             [params[n]["lstm"] for n in surrogate_names], surrogate_xs
         )

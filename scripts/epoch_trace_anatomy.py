@@ -42,6 +42,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--config", default="parity",
+                    help="parity (bench MOSI config) or a candidate "
+                         "name from scripts/scale_mfu_probe.py "
+                         "(A_b256_h256 / B_b512_h512 / C_b1024_h1024)")
+    ap.add_argument("--nb", type=int, default=None,
+                    help="batches per epoch (default 39 parity, 4 scale)")
+    ap.add_argument("--raw", action="store_true",
+                    help="also print the top RAW event names (un-classed)"
+                         " — for chasing container/unnamed events")
     args = ap.parse_args()
 
     from factorized_tpu.utils.compilation_cache import enable
@@ -54,16 +63,23 @@ def main():
     from factorized_tpu.models import get_model
     from factorized_tpu.train import TrainProgram, make_optimizer
 
-    cfg = best_acc_mosi_config()
+    if args.config == "parity":
+        cfg = best_acc_mosi_config()
+        nb, batch = args.nb or NB, BATCH
+    else:
+        import scale_mfu_probe
+
+        cfg = scale_mfu_probe.candidate_configs()[args.config]
+        nb, batch = args.nb or 4, cfg.batchsize
     init, apply_fn = get_model("mfm")
     params = init(jax.random.PRNGKey(123), cfg)
     opt = make_optimizer("adam", 1e-3)
     opt_state = opt.init(params)
     program = TrainProgram(apply_fn, cfg, "joint", opt)
     rng = np.random.default_rng(0)
-    Xb = jnp.asarray(rng.normal(size=(NB, T, BATCH, cfg.d_total)),
-                     jnp.float32)
-    yb = jnp.asarray(rng.normal(size=(NB, BATCH)), jnp.float32)
+    Xb = jnp.asarray(rng.normal(
+        size=(nb, T, batch, cfg.d_total)).astype(np.float32))
+    yb = jnp.asarray(rng.normal(size=(nb, batch)).astype(np.float32))
     lr = jnp.asarray(1e-3, jnp.float32)
 
     # warm up (compile) outside the trace
@@ -99,6 +115,8 @@ def main():
 
     by_class = collections.Counter()
     calls = collections.Counter()
+    by_raw = collections.Counter()
+    raw_calls = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -108,6 +126,8 @@ def main():
         cls = classify(name)
         by_class[cls] += dur
         calls[cls] += 1
+        by_raw[name] += dur
+        raw_calls[name] += 1
         total += dur
     print(f"trace: {paths[0]}", file=sys.stderr)
     print(f"device pids: {sorted(dev_pids)} "
@@ -117,6 +137,10 @@ def main():
     for cls, ms in by_class.most_common(args.top):
         print(f"{ms / E:>9.3f} {calls[cls] // E:>12}  {cls}")
     print(f"{total / E:>9.3f} {sum(calls.values()) // E:>12}  TOTAL")
+    if args.raw:
+        print("\ntop raw event names:")
+        for name, ms in by_raw.most_common(args.top):
+            print(f"{ms / E:>9.3f} {raw_calls[name] // E:>12}  {name!r}")
 
 
 if __name__ == "__main__":

@@ -65,13 +65,14 @@ def _compare_model(name):
     params = init(KEY, CFG)
     x = jax.random.normal(jax.random.PRNGKey(1), (5, 3, CFG.d_total))
     key = jax.random.PRNGKey(2)
+    saved = mfm_mod.FUSED
     try:
         mfm_mod.FUSED = True
         out_f = apply_fn(params, x, CFG, key=key, train=False)
         mfm_mod.FUSED = False
         out_m = apply_fn(params, x, CFG, key=key, train=False)
     finally:
-        mfm_mod.FUSED = True
+        mfm_mod.FUSED = saved
     flat_f = jax.tree.leaves(out_f)
     flat_m = jax.tree.leaves(out_m)
     assert len(flat_f) == len(flat_m)
