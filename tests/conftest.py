@@ -21,4 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE (r5, measured): do NOT enable the persistent XLA compile cache
+# here. The suite is TRACING/interpret-bound, not XLA-compile-bound —
+# cache-key hashing on every jit compile cost +12 min on a cold run
+# (1767s vs ~640s) and a fully warm cache still measured slower than
+# no cache at all (per-file A/B: 154s none / 163s cold / 139s warm,
+# i.e. −10% warm but +6% on every first run; suite-wide the hashing
+# overhead swamps the few >1s CPU compiles it saves).
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

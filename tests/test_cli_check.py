@@ -100,6 +100,7 @@ class TestCheckJsonl:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_cli_moud_single(self, tmp_path, capsys):
         from factorized_tpu.cli import main
 
@@ -367,6 +368,7 @@ class TestCLIVariants:
         with pytest.raises(ValueError):
             best_mfn_mosi_config("nope")
 
+    @pytest.mark.slow
     def test_cli_predictor_best_mfn(self, tmp_path):
         """The predictor command with --mode best routes to the pinned
         MFN configs (regression: logger.record kw collision crashed

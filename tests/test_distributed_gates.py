@@ -94,6 +94,7 @@ class TestInitDistributed:
         assert called == [True]
         assert mesh.shape == {"data": 8}
 
+    @pytest.mark.slow
     def test_cli_flag_plumbed(self, monkeypatch, tmp_path):
         """--multihost triggers init_distributed before training."""
         import factorized_tpu.parallel as par

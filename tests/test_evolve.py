@@ -77,6 +77,7 @@ class TestResampleValues:
 
 
 class TestStateChaining:
+    @pytest.mark.slow
     def test_two_rungs_progress_and_resume_lane_state(self, program):
         """Rung 2 continues from rung 1's live state: the live params
         keep training (different from rung 1's) and the per-lane
@@ -99,6 +100,7 @@ class TestStateChaining:
         p2 = np.asarray(jax_leaves(r2["state"]["params"])[0])
         assert not np.array_equal(p1, p2), "rung 2 did not train"
 
+    @pytest.mark.slow
     def test_recycled_lane_does_not_perturb_survivors(self, program):
         """Recycle lane 1 between rungs; lane 0's continued trajectory
         must match an un-culled run exactly (lane independence)."""
@@ -258,6 +260,7 @@ class TestEvolveMesh:
 
 
 class TestEvolveResume:
+    @pytest.mark.slow
     def test_kill_at_rung_resume_reproduces(self, program, tmp_path,
                                             monkeypatch):
         """Crash during rung 2 of 3, resume from the rung-boundary

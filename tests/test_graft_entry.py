@@ -22,6 +22,7 @@ class TestEntry:
         assert np.isfinite(np.asarray(y)).all()
         assert np.isfinite(float(mmd))
 
+    @pytest.mark.slow
     def test_dryrun_multichip_in_process(self, monkeypatch):
         """With 8 visible devices (conftest mesh) the dryrun must run
         IN-PROCESS — full DP+TP train step + sharded eval. The
@@ -33,6 +34,7 @@ class TestEntry:
         monkeypatch.setenv("FACTORIZED_SKIP_MULTIPROCESS", "1")
         graft.dryrun_multichip(8)  # raises on any failure
 
+    @pytest.mark.slow
     def test_dryrun_odd_device_count(self):
         """Non-TP path (odd n) must also work."""
         if len(jax.devices()) < 3:

@@ -144,6 +144,7 @@ class TestTracedHpEqualsStatic:
 
 
 class TestTrainConfigBucket:
+    @pytest.mark.slow
     def test_identical_configs_match_multiseed(self):
         """A bucket of identical configs reproduces train_mfm_multiseed
         (same key derivation, binary-exact rates -> same masks)."""
@@ -161,6 +162,7 @@ class TestTrainConfigBucket:
             assert a["metrics"]["mae"] == pytest.approx(
                 b["metrics"]["mae"], rel=1e-4)
 
+    @pytest.mark.slow
     def test_mixed_configs_train_distinctly(self):
         """Lanes with different hyperparameters produce different
         models; each lane's result is finite and attributable."""
@@ -177,6 +179,7 @@ class TestTrainConfigBucket:
         assert len({round(m, 6) for m in maes}) == 3
         assert res["best_lane"] == int(np.argmin(maes))
 
+    @pytest.mark.slow
     def test_config_lr_per_lane(self):
         data = _data()
         cfgs = [CFG.replace(lr=0.001), CFG.replace(lr=0.05)]
@@ -219,6 +222,7 @@ class TestTrainConfigBucket:
             assert len({shape_signature(c) for c in cfgs}) == 1
             assert kw["seeds_per_config"] == 2
 
+    @pytest.mark.slow
     def test_lane_sharded_mesh(self):
         """Lane axis sharded over the virtual mesh — the multi-chip
         search scaling story for mixed configs."""
@@ -268,6 +272,7 @@ class TestMultitraitBucket:
         assert all(res["results"][pick]["metrics"]["mae_mean"]
                    <= r["metrics"]["mae_mean"] for r in res["results"])
 
+    @pytest.mark.slow
     def test_evolve_multitrait(self):
         import random
 

@@ -47,6 +47,7 @@ def _tree_allclose(a, b, atol=0.0):
 
 
 class TestMultiseedResume:
+    @pytest.mark.slow
     def test_kill_and_resume_matches_uninterrupted(self, tmp_path):
         """Train 4 epochs + snapshot, resume for 2 more == one 6-epoch
         run: identical per-seed best-valids, metrics and best params."""
@@ -75,6 +76,7 @@ class TestMultiseedResume:
         _tree_allclose(full["best_params"], resumed["best_params"],
                        atol=1e-6)
 
+    @pytest.mark.slow
     def test_chunk_size_does_not_change_results(self, monkeypatch):
         """The epoch loop dispatches CHUNKS of epochs as one device
         program; chunk boundaries are an implementation detail — a
@@ -104,6 +106,7 @@ class TestMultiseedResume:
                 assert ra["metrics"]["mae"] == pytest.approx(
                     rb["metrics"]["mae"], abs=1e-5)
 
+    @pytest.mark.slow
     def test_resume_rejects_seed_count_mismatch(self, tmp_path):
         data = _data()
         quiet = RunLogger(echo=False)

@@ -93,6 +93,7 @@ class TestDecoderKernel:
 
 
 class TestEndToEndModelGrads:
+    @pytest.mark.slow
     def test_mfm_kl_ef_train_grads(self, force_pallas):
         """kl_ef uses the pallas multi_lstm for all 4 encoders and the
         decoder kernel; grads of the full loss must match the scan."""

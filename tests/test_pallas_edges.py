@@ -37,7 +37,9 @@ def _cfg(t):
     )
 
 
-@pytest.mark.parametrize("t", [1, 2, 7, 33])
+@pytest.mark.parametrize(
+    "t", [1, 2, pytest.param(7, marks=pytest.mark.slow),
+          pytest.param(33, marks=pytest.mark.slow)])
 def test_mfm_grads_all_t(t):
     cfg = _cfg(t)
     params = mfm_mod.mfm_init(jax.random.PRNGKey(0), cfg)

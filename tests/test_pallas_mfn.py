@@ -75,6 +75,7 @@ class TestEncodeKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=2e-5)
 
+    @pytest.mark.slow
     def test_missing_model_grads(self, force_pallas):
         params = mfm_mod.mfm_missing_init(jax.random.PRNGKey(0), CFG)
         loss_fn = make_loss_fn(mfm_mod.mfm_missing_apply, CFG, "missing")

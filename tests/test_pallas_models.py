@@ -32,7 +32,19 @@ def _scalarize(out):
                for leaf in jax.tree.leaves(out))
 
 
-@pytest.mark.parametrize("name", sorted(MODELS))
+# Quick tier keeps one representative per kernel-usage class (flagship
+# mfm; kl_ef = 4-chain multi-cell fused scan; missing = 6 surrogate
+# chains + 4-way decode; mfn = predictor head, covers the plain
+# encoder path). The rest of the registry runs in the full suite —
+# same sweep, slow-marked (the per-model cost is interpret-mode Pallas
+# tracing, ~10-16s each on the single-core CI host).
+_QUICK = {"mfm", "kl_ef", "missing", "mfn"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n if n in _QUICK else pytest.param(n, marks=pytest.mark.slow)
+     for n in sorted(MODELS)])
 def test_grads_match_scan(name):
     init, apply_fn = get_model(name)
     params = init(jax.random.PRNGKey(0), CFG)

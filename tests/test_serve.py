@@ -349,6 +349,7 @@ class TestResume:
         assert np.isfinite(res2["metrics"]["mae"])
         assert res2["step"] == 4
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("name", ["missing", "zeros", "s2s", "bm",
                                       "acc", "multitrait"])
     def test_resume_all_trainers(self, tmp_path, name):

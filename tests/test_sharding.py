@@ -148,6 +148,7 @@ class TestTensorParallel:
             np.asarray(dec_l["fc1"]["w"]),
             np.asarray(params["dec"]["decoder_l"]["fc1"]["w"]))
 
+    @pytest.mark.slow
     def test_tp_epoch_matches_replicated_dp(self):
         from factorized_tpu.parallel.sharding import tp_param_shardings
 
