@@ -992,9 +992,9 @@ def build_parser():
     sp = sub.add_parser(
         "warmup",
         help="pre-populate the persistent XLA compile cache with the "
-             "production programs (bench epoch/chunk, trainer loop, "
-             "K=8 multiseed, released-checkpoint serving) so later "
-             "process-cold runs start in seconds")
+             "production programs (bench epoch/chunk/scale, trainer "
+             "loop, K=8 multiseed, released-checkpoint serving) so "
+             "later process-cold runs start in seconds")
     sp.set_defaults(func=_run_warmup)
 
     return p

@@ -23,3 +23,14 @@ def enable(cache_dir: str | None = None):
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # CALLER-INDEPENDENT cache keys (r5 find): Pallas custom-call
+    # payloads are separately-serialized Mosaic modules whose location
+    # metadata embeds up to jax_traceback_in_locations_limit=10 Python
+    # frames — including the __main__ script that invoked the jit — and
+    # the cache key's strip-debuginfo pass cannot reach inside the
+    # payload. Any program whose backward traces a Pallas kernel from a
+    # different caller file (bench.py vs warmup vs a user script) got a
+    # DIFFERENT key and recompiled cold (~200-580s through the tunnel,
+    # observed every round). Limiting locations to the defining frame
+    # (repo files, caller-independent) makes the keys stable.
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)

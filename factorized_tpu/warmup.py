@@ -10,11 +10,12 @@ the full production set once so every subsequent process-cold run
 
 1. bench epoch program (dispatched mode) — factorized_tpu/benchprog.py
 2. bench 20-epoch chunk program (the bench headline)
-3. the single-model chunked trainer loop at the MOSI shapes
+3. bench compute-bound scale chunk program (benchprog.scale_cfg)
+4. the single-model chunked trainer loop at the MOSI shapes
    (train._compile_chunked_loop via trainers.train_mfm, one
    DEFAULT_EPOCH_CHUNK program + eval/predict programs)
-4. the K=8 multiseed chunk program (the search workload)
-5. serving forwards for the released checkpoints (best/mfn_mae,
+5. the K=8 multiseed chunk program (the search workload)
+6. serving forwards for the released checkpoints (best/mfn_mae,
    best/mfn_acc at the default serving batch)
 
 Programs are built by the SAME builders the production paths use, so
@@ -75,6 +76,25 @@ def run_warmup(args):
         float(trs[-1])
 
     _leg("bench_chunk_e20", bench_chunk, results)
+
+    def bench_scale():
+        from factorized_tpu.benchprog import (SCALE_E, SCALE_NB,
+                                              scale_cfg)
+
+        scfg = scale_cfg()
+        sprog, sp, so = build_train_state(scfg)
+        t, B, d = scfg.seqlength, scfg.batchsize, scfg.d_total
+        gen = jax.jit(lambda k: (
+            jax.random.normal(jax.random.fold_in(k, 0),
+                              (SCALE_NB, t, B, d), jnp.float32),
+            jax.random.normal(jax.random.fold_in(k, 1), (SCALE_NB, B),
+                              jnp.float32)))
+        sX, sy = gen(jax.random.PRNGKey(7))
+        scj = jax.jit(make_chunk(sprog, e=SCALE_E), donate_argnums=(0, 1))
+        sp, so, strs = scj(sp, so, sX, sy, jax.random.PRNGKey(5), lr)
+        float(strs[-1])
+
+    _leg("bench_scale_chunk", bench_scale, results)
 
     def trainer_loop():
         from factorized_tpu import trainers
